@@ -1,0 +1,132 @@
+"""ctypes bridge to the native rANS coder (native/rans/rans.cpp).
+
+Replaces the reference dependency's pybind11 extension
+(compressai.ans RansEncoder/RansDecoder + compressai._CXX, SURVEY.md X4/X5)
+with a C-ABI shared library compiled on demand with g++ (pybind11 is not in
+this image). The library is cached next to the source and rebuilt only when
+the source is newer.
+
+All arrays cross this boundary as contiguous int32 numpy; the device side
+(jit region) produces symbols/indexes, and `jax.device_get` feeds them here.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+PRECISION = 16
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native", "rans", "rans.cpp")
+_LIB_PATH = os.path.join(os.path.dirname(_SRC), "libmmncrans.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build_library():
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _LIB_PATH,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        need_build = (not os.path.exists(_LIB_PATH)
+                      or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC))
+        if need_build:
+            _build_library()
+        lib = ctypes.CDLL(_LIB_PATH)
+
+        lib.mmnc_pmf_to_quantized_cdf.restype = ctypes.c_int32
+        lib.mmnc_pmf_to_quantized_cdf.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32)]
+
+        lib.mmnc_rans_encode_with_indexes.restype = ctypes.c_int64
+        lib.mmnc_rans_encode_with_indexes.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+
+        lib.mmnc_rans_decode_with_indexes.restype = ctypes.c_int32
+        lib.mmnc_rans_decode_with_indexes.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+        return lib
+
+
+def _i32ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def pmf_to_quantized_cdf(pmf, precision: int = PRECISION) -> np.ndarray:
+    """Native CDF quantizer (same semantics as tables.pmf_to_quantized_cdf_np)."""
+    lib = _load()
+    pmf = np.ascontiguousarray(pmf, np.float32)
+    out = np.zeros(len(pmf) + 1, np.int32)
+    rc = lib.mmnc_pmf_to_quantized_cdf(
+        pmf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(pmf), precision, _i32ptr(out))
+    if rc != 0:
+        raise ValueError(f"pmf_to_quantized_cdf failed with code {rc}")
+    return out
+
+
+def _prep(table):
+    cdfs = np.ascontiguousarray(table.cdfs, np.int32)
+    lengths = np.ascontiguousarray(table.cdf_lengths, np.int32)
+    offsets = np.ascontiguousarray(table.offsets, np.int32)
+    return cdfs, lengths, offsets
+
+
+def encode_with_indexes(symbols, indexes, table) -> bytes:
+    """Encode int32 symbols with per-symbol CDF-row indexes -> bytestring."""
+    lib = _load()
+    symbols = np.ascontiguousarray(symbols, np.int32).ravel()
+    indexes = np.ascontiguousarray(indexes, np.int32).ravel()
+    if symbols.shape != indexes.shape:
+        raise ValueError(
+            f"symbols/indexes length mismatch: {symbols.shape} vs {indexes.shape}")
+    cdfs, lengths, offsets = _prep(table)
+    # worst case: every symbol escapes with ~64 bypass bits
+    capacity = 16 * len(symbols) + 64
+    out = np.zeros(capacity, np.uint8)
+    n = lib.mmnc_rans_encode_with_indexes(
+        _i32ptr(symbols), _i32ptr(indexes), len(symbols),
+        _i32ptr(cdfs), cdfs.shape[1], _i32ptr(lengths), _i32ptr(offsets),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), capacity)
+    if n < 0:
+        raise RuntimeError(f"rANS encode failed with code {n}")
+    return out[:n].tobytes()
+
+
+def decode_with_indexes(data: bytes, indexes, table) -> np.ndarray:
+    """Decode a bytestring back to int32 symbols (len == len(indexes))."""
+    lib = _load()
+    indexes = np.ascontiguousarray(indexes, np.int32).ravel()
+    cdfs, lengths, offsets = _prep(table)
+    buf = np.frombuffer(data, np.uint8)
+    buf = np.ascontiguousarray(buf)
+    out = np.zeros(len(indexes), np.int32)
+    rc = lib.mmnc_rans_decode_with_indexes(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        _i32ptr(indexes), len(indexes),
+        _i32ptr(cdfs), cdfs.shape[1], _i32ptr(lengths), _i32ptr(offsets),
+        _i32ptr(out))
+    if rc != 0:
+        raise RuntimeError(f"rANS decode failed with code {rc}")
+    return out

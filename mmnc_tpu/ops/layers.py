@@ -1,0 +1,162 @@
+"""Core codec layers: strided conv / transposed conv and (I)GDN.
+
+TPU-native design notes
+-----------------------
+* Layout is **NHWC** throughout (TPU convs want the channel dim minor so XLA
+  can tile it onto the 128-lane axis); the reference is NCHW torch.
+* Geometry matches the reference's CompressAI helpers exactly
+  (`compressai/models/utils.py` conv/deconv, cited via SURVEY.md X7):
+  conv  = Conv2d(k, stride s, padding k//2)
+  deconv= ConvTranspose2d(k, stride s, output_padding s-1, padding k//2)
+  so for even input H: conv k5s2 halves and deconv k5s2 exactly doubles.
+* Transposed conv is expressed as an input-dilated regular convolution
+  (lhs_dilation=s, padding (k-1-p, k-1-p+op)) — a single
+  `lax.conv_general_dilated`, which XLA maps straight onto the MXU.
+* GDN: y = x / sqrt(beta + (x^2) @ gamma^T); IGDN multiplies instead.
+  In NHWC the 1x1 conv of the reference (`compressai/layers/gdn.py`,
+  SURVEY.md X6) is a plain channel matmul — pure MXU work that XLA fuses
+  with the surrounding square/rsqrt elementwise ops.
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .bound import lower_bound
+
+Dtype = Any
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv_precision(dtype):
+    """f32 convs use full-precision MXU passes (TPU defaults to fast bf16
+    passes for f32, which breaks entropy-model parity); bf16 inputs are the
+    explicit fast path and keep the default."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+def conv(x, w, stride: int = 2):
+    """Strided cross-correlation with torch padding k//2. w: (kh, kw, Cin, Cout)."""
+    k = w.shape[0]
+    p = k // 2
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride),
+        padding=[(p, p), (p, p)], dimension_numbers=_DN,
+        precision=_conv_precision(x.dtype),
+    )
+
+
+def deconv(x, w, stride: int = 2):
+    """Transposed conv, torch geometry (padding k//2, output_padding stride-1).
+
+    Implemented as cross-correlation over the s-dilated input with padding
+    (k-1-p) on the leading edge and (k-1-p+op) on the trailing edge. For even
+    inputs this exactly doubles H and W when stride=2 (incl. H=1 -> 2).
+    """
+    k = w.shape[0]
+    p = k // 2
+    op = stride - 1
+    lo = k - 1 - p
+    hi = k - 1 - p + op
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1),
+        padding=[(lo, hi), (lo, hi)],
+        lhs_dilation=(stride, stride), dimension_numbers=_DN,
+        precision=_conv_precision(x.dtype),
+    )
+
+
+class Conv(nn.Module):
+    """conv(k,s) module matching the reference's `conv` helper (SURVEY.md X7)."""
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.kernel_size
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (k, k, cin, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = conv(x.astype(self.dtype), w.astype(self.dtype), self.stride)
+        return y + b.astype(self.dtype)
+
+
+class Deconv(nn.Module):
+    """deconv(k,s) module matching the reference's `deconv` helper (SURVEY.md X7)."""
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.kernel_size
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (k, k, cin, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = deconv(x.astype(self.dtype), w.astype(self.dtype), self.stride)
+        return y + b.astype(self.dtype)
+
+
+# --- GDN -------------------------------------------------------------------
+
+# NonNegativeParametrizer constants (compressai/layers/gdn.py semantics,
+# SURVEY.md X6): params are stored as sqrt(value + pedestal) and recovered by
+# lower-bounded squaring, keeping beta/gamma non-negative under SGD.
+_REPARAM_OFFSET = 2.0 ** -18
+_PEDESTAL = _REPARAM_OFFSET ** 2
+_BETA_MIN = 1e-6
+
+
+def nonneg_init(value):
+    return jnp.sqrt(jnp.maximum(value + _PEDESTAL, _PEDESTAL))
+
+
+def nonneg_forward(reparam, minimum: float = 0.0):
+    bound = float((minimum + _REPARAM_OFFSET ** 2) ** 0.5)
+    out = lower_bound(reparam, bound)
+    return out * out - _PEDESTAL
+
+
+class GDN(nn.Module):
+    """Generalized Divisive Normalization (Balle et al.).
+
+    y_i = x_i / sqrt(beta_i + sum_j gamma_ij x_j^2)   (inverse=True multiplies)
+
+    gamma layout is (out, in) like the reference's 1x1 conv weight; in NHWC
+    the normalizer is `x^2 @ gamma.T + beta` — one channel-channel matmul.
+    """
+    inverse: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        beta_r = self.param(
+            "beta", lambda _: nonneg_init(jnp.ones((c,), jnp.float32)))
+        gamma_r = self.param(
+            "gamma", lambda _: nonneg_init(0.1 * jnp.eye(c, dtype=jnp.float32)))
+        beta = nonneg_forward(beta_r, _BETA_MIN)
+        gamma = nonneg_forward(gamma_r)
+
+        x = x.astype(self.dtype)
+        x2 = x * x
+        norm = jnp.einsum(
+            "bhwc,oc->bhwo", x2, gamma.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+            precision=_conv_precision(self.dtype),
+        ) + beta
+        if self.inverse:
+            return x * jnp.sqrt(norm).astype(self.dtype)
+        return x * jax.lax.rsqrt(norm).astype(self.dtype)

@@ -1,0 +1,133 @@
+"""Native rANS coder tests: CDF quantizer parity, round-trip properties,
+and real-bytes vs estimated-entropy agreement (the reference's check_bpp
+notebook as a pytest; SURVEY.md §4 item 1)."""
+
+import numpy as np
+import pytest
+
+from mmnc_tpu.entropy import rans
+from mmnc_tpu.entropy.tables import (
+    CdfTable, pmf_to_quantized_cdf_np, build_gc_table, PRECISION)
+
+
+def _random_table(rng, rows=4, support=16):
+    cdfs = []
+    lengths = []
+    for _ in range(rows):
+        n = rng.integers(4, support)
+        pmf = rng.random(n) + 1e-4
+        pmf = pmf / pmf.sum() * (1 - 1e-6)
+        cdf = pmf_to_quantized_cdf_np(np.concatenate([pmf, [1e-6]]))
+        cdfs.append(cdf)
+        lengths.append(len(cdf))
+    max_len = max(lengths)
+    mat = np.zeros((rows, max_len), np.int32)
+    for r, c in enumerate(cdfs):
+        mat[r, :len(c)] = c
+    return CdfTable(cdfs=mat, cdf_lengths=np.asarray(lengths, np.int32),
+                    offsets=rng.integers(-8, 8, rows).astype(np.int32))
+
+
+def test_cpp_cdf_quantizer_matches_numpy_mirror():
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        n = rng.integers(2, 40)
+        pmf = rng.random(n).astype(np.float32)
+        pmf /= pmf.sum()
+        pmf *= 1 - 1e-6
+        row = np.concatenate([pmf, [1e-6]]).astype(np.float32)
+        got = rans.pmf_to_quantized_cdf(row)
+        want = pmf_to_quantized_cdf_np(row)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_cdf_invariants():
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        n = rng.integers(2, 64)
+        pmf = rng.random(n)
+        pmf /= pmf.sum()
+        cdf = pmf_to_quantized_cdf_np(pmf)
+        assert cdf[0] == 0
+        assert cdf[-1] == (1 << PRECISION)
+        assert np.all(np.diff(cdf) >= 1), "every symbol needs nonzero freq"
+
+
+def test_roundtrip_in_range_symbols():
+    rng = np.random.default_rng(2)
+    table = _random_table(rng)
+    n = 4096
+    indexes = rng.integers(0, len(table.cdf_lengths), n).astype(np.int32)
+    max_vals = table.max_values[indexes]
+    symbols = (rng.integers(0, 1 << 16, n) % max_vals
+               + table.offsets[indexes]).astype(np.int32)
+    data = rans.encode_with_indexes(symbols, indexes, table)
+    out = rans.decode_with_indexes(data, indexes, table)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_roundtrip_with_bypass_symbols():
+    """Out-of-range symbols (negative / beyond support) take the escape path."""
+    rng = np.random.default_rng(3)
+    table = _random_table(rng)
+    n = 2048
+    indexes = rng.integers(0, len(table.cdf_lengths), n).astype(np.int32)
+    symbols = rng.integers(-500, 500, n).astype(np.int32)  # mostly out of range
+    data = rans.encode_with_indexes(symbols, indexes, table)
+    out = rans.decode_with_indexes(data, indexes, table)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_roundtrip_extreme_values():
+    rng = np.random.default_rng(4)
+    table = _random_table(rng, rows=1)
+    symbols = np.asarray([0, 1, -1, 10_000_000, -10_000_000, 65535, -65536],
+                         np.int32)
+    indexes = np.zeros(len(symbols), np.int32)
+    data = rans.encode_with_indexes(symbols, indexes, table)
+    out = rans.decode_with_indexes(data, indexes, table)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_empty_and_single_symbol():
+    rng = np.random.default_rng(5)
+    table = _random_table(rng, rows=1)
+    for syms in ([], [table.offsets[0] + 1]):
+        symbols = np.asarray(syms, np.int32)
+        indexes = np.zeros(len(symbols), np.int32)
+        data = rans.encode_with_indexes(symbols, indexes, table)
+        out = rans.decode_with_indexes(data, indexes, table)
+        np.testing.assert_array_equal(out, symbols)
+
+
+def test_bytes_close_to_entropy_estimate():
+    """check_bpp-as-pytest: actual rANS bytes ~= sum(-log2 p) for symbols
+    drawn from the coded distribution."""
+    rng = np.random.default_rng(6)
+    n_sym, support = 200_000, 32
+    pmf = rng.random(support)
+    pmf /= pmf.sum()
+    cdf = pmf_to_quantized_cdf_np(np.concatenate([pmf * (1 - 1e-9), [1e-9]]))
+    table = CdfTable(cdfs=cdf[None, :].astype(np.int32),
+                     cdf_lengths=np.asarray([len(cdf)], np.int32),
+                     offsets=np.asarray([0], np.int32))
+    symbols = rng.choice(support, size=n_sym, p=pmf).astype(np.int32)
+    indexes = np.zeros(n_sym, np.int32)
+
+    data = rans.encode_with_indexes(symbols, indexes, table)
+    out = rans.decode_with_indexes(data, indexes, table)
+    np.testing.assert_array_equal(out, symbols)
+
+    est_bits = -np.sum(np.log2(pmf[symbols]))
+    actual_bits = len(data) * 8
+    assert actual_bits < est_bits * 1.01 + 256, (actual_bits, est_bits)
+    assert actual_bits > est_bits * 0.98, "can't beat entropy"
+
+
+def test_gc_table_builds():
+    table = build_gc_table()
+    assert table.cdfs.shape[0] == 64
+    assert np.all(table.cdf_lengths >= 3)
+    # each row's cdf must terminate at 2^16
+    for r in range(64):
+        assert table.cdfs[r, table.cdf_lengths[r] - 1] == (1 << PRECISION)
