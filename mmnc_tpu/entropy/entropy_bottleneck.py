@@ -74,12 +74,13 @@ class EntropyBottleneck(nn.Module):
     channels: int
 
     def setup(self):
+        import math
         filters = (1,) + FILTERS + (1,)
         scale = INIT_SCALE ** (1.0 / (len(FILTERS) + 1))
         params = {}
         for k in range(len(FILTERS) + 1):
             f_in, f_out = filters[k], filters[k + 1]
-            init = float(jnp.log(jnp.expm1(1.0 / scale / f_out)))
+            init = math.log(math.expm1(1.0 / scale / f_out))
             params[f"matrix_{k}"] = self.param(
                 f"matrix_{k}",
                 lambda rng, v=init, s=(self.channels, f_out, f_in):
@@ -126,9 +127,10 @@ class EntropyBottleneck(nn.Module):
 
     def aux_loss(self):
         """|logits(quantiles) - target| summed; trains quantiles only."""
+        import math
         logits = _logits_cumulative(self._density, self.quantiles,
                                     stop_density_grad=True)
-        target = float(jnp.log(2.0 / TAIL_MASS - 1.0))
+        target = math.log(2.0 / TAIL_MASS - 1.0)
         targets = jnp.array([-target, 0.0, target], jnp.float32)[None, None, :]
         return jnp.sum(jnp.abs(logits - targets))
 

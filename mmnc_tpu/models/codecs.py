@@ -1,0 +1,444 @@
+"""The four multi-task codec variants with the reference's public surface.
+
+Re-designs the reference model zoo (SURVEY.md C4, C6-C9) as one flax module
+(`MultiTaskCodecNet`, variant-switched latent routing) plus thin model
+classes carrying the reference API:
+
+* SingleTaskCompressor            (model 1, src/models/single_task_compressor.py)
+* MultiTaskMixedLatentCompressor  (model 2, src/models/mixed_latent.py)
+* MultiTaskDisjointLatentCompressor (model 3, src/models/disjoint_latent.py)
+* MultiTaskSharedLatentCompressor (model 4, src/models/shared_latent.py)
+
+Each exposes constructor kwargs (tasks, input_channels, output_channels,
+latent_channels, conv_channels, lmbda, learning rates), `forward(batch)` ->
+(x_hats, likelihoods), `compress(batch)`, `decompress(strings, shape)`,
+`update_bottleneck_values()` and the loss accounting of
+multi_task_compressor.py:420-476 — but as pure functions over a params
+pytree, with a single jit'd device path and host-side rANS.
+
+Real-coding geometry note: the reference's as-built 256px geometry
+over-generates Gaussian indexes 16x and cannot round-trip decompress
+(SURVEY.md §2.4). Training/rate-estimate behavior reproduces that legacy
+broadcast by default, but the *real* compress/decompress path always crops
+scales to y's spatial shape so that encode:decode is bit-exact.
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..entropy.gaussian_conditional import GaussianConditional, get_scale_table
+from ..entropy.tables import CdfTable, build_eb_table, build_gc_table
+from ..entropy import rans
+from ..data.task_configs import task_parameters
+from .backbone import ScaleHyperprior
+from .heads import EncoderHead, DecoderHead, UpsampleStack
+from . import losses as L
+
+
+class MultiTaskCodecNet(nn.Module):
+    """Variant-switched multi-task codec graph (NHWC)."""
+    variant: str                       # "mixed" | "disjoint" | "shared"
+    tasks: Tuple[str, ...]
+    input_channels: Tuple[int, ...]
+    output_channels: Tuple[int, ...]
+    latent_channels: int               # already divisibility-adjusted
+    conv_channels: int
+    channels_per_task: int             # y-slice width (disjoint/shared)
+    use_uncertainty_weighting: bool = True
+    legacy_broadcast: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        t = len(self.tasks)
+        total = self.conv_channels * t
+        self.input_heads = [
+            EncoderHead(conv_channels=self.conv_channels, dtype=self.dtype)
+            for _ in self.tasks]
+        self.compressor = ScaleHyperprior(
+            in_channels=total, latent_channels=self.latent_channels,
+            use_gs=(self.variant == "mixed"),
+            legacy_broadcast=self.legacy_broadcast, dtype=self.dtype)
+        if self.variant in ("disjoint", "shared"):
+            self.upsamples = [
+                UpsampleStack(conv_channels=self.conv_channels, n_tasks=t,
+                              dtype=self.dtype)
+                for _ in self.tasks]
+        self.output_heads = [
+            DecoderHead(out_channels=oc, dtype=self.dtype)
+            for oc in self.output_channels]
+        if self.use_uncertainty_weighting:
+            self.log_vars = self.param(
+                "log_vars", nn.initializers.zeros, (t,), jnp.float32)
+
+    # --- encode side -------------------------------------------------------
+
+    def encode_heads(self, batch) -> jnp.ndarray:
+        """{task: (B,H,W,C_t)} -> (B, H/32, W/32, conv_channels * n_tasks)."""
+        outs = [head(batch[task].astype(self.dtype))
+                for task, head in zip(self.tasks, self.input_heads)]
+        return jnp.concatenate(outs, axis=-1)
+
+    def analyze(self, batch):
+        stacked = self.encode_heads(batch)
+        return self.compressor.analyze(stacked)
+
+    # --- decode side -------------------------------------------------------
+
+    def _task_slice(self, u, i):
+        c = self.channels_per_task
+        return u[..., i * c:(i + 1) * c]
+
+    def decode_heads(self, u) -> Dict[str, jnp.ndarray]:
+        """Route the synthesized tensor (mixed) or raw y_hat (disjoint/
+        shared) into the per-task decoder heads."""
+        x_hats = {}
+        for i, task in enumerate(self.tasks):
+            if self.variant == "mixed":
+                v = u
+            elif self.variant == "disjoint":
+                v = self._task_slice(u, i)
+            else:  # shared: own slice + the last (shared) block
+                c = self.channels_per_task
+                v = jnp.concatenate([self._task_slice(u, i), u[..., -c:]],
+                                    axis=-1)
+            if self.variant in ("disjoint", "shared"):
+                v = self.upsamples[i](v)
+            x_hats[task] = self.output_heads[i](v)
+        return x_hats
+
+    def synthesize_from_y(self, y_hat):
+        return self.decode_heads(self.compressor.synthesize(y_hat))
+
+    def hyper_synthesize(self, z_hat):
+        return self.compressor.hyper_synthesize(z_hat)
+
+    def eb_medians(self):
+        return self.compressor.eb_medians()
+
+    def aux_loss(self):
+        return self.compressor.aux_loss()
+
+    def get_log_vars(self):
+        return self.log_vars if self.use_uncertainty_weighting else None
+
+    # --- full forward ------------------------------------------------------
+
+    def __call__(self, batch, training: bool = True):
+        stacked = self.encode_heads(batch)
+        out = self.compressor(stacked, training=training)
+        x_hats = self.decode_heads(out["x_hat"])
+        return x_hats, out["likelihoods"]
+
+
+@dataclass
+class CodecTables:
+    """Host-side range-coding state built from trained params
+    (the reference's update_bottleneck_values() product, SURVEY.md §5
+    checkpoint notes)."""
+    eb: CdfTable
+    eb_medians: np.ndarray
+    gc: CdfTable
+
+
+class MultiTaskCompressorBase:
+    """Shared machinery of the four codecs; functional over a params pytree."""
+
+    variant = "mixed"
+    weighting = "uncertainty"  # or "none"
+
+    def __init__(
+        self,
+        tasks: Tuple[str, ...],
+        input_channels: Tuple[int, ...],
+        output_channels: Tuple[int, ...],
+        latent_channels: int,
+        conv_channels: int,
+        lmbda: float = 1.0,
+        learning_rate_main: float = 1e-5,
+        learning_rate_aux: float = 1e-3,
+        legacy_broadcast: bool = True,
+        dtype: Any = jnp.float32,
+        compressor_backbone_class: Optional[type] = None,  # API parity; the
+        # backbone is always the native ScaleHyperprior flax module
+        **kwargs,
+    ):
+        tasks = tuple(tasks)
+        assert len(tasks) == len(tuple(input_channels))
+        self.tasks = tasks
+        self.n_tasks = len(tasks)
+        self.input_channels = tuple(input_channels)
+        self.output_channels = tuple(output_channels)
+        self.conv_channels = conv_channels
+        self.lmbda = lmbda
+        self.learning_rate_main = learning_rate_main
+        self.learning_rate_aux = learning_rate_aux
+        self.legacy_broadcast = legacy_broadcast
+
+        latent_channels, channels_per_task = self._adjust_latent(latent_channels)
+        self.latent_channels = latent_channels
+        self.channels_per_task = channels_per_task
+
+        self.loss_types = {t: task_parameters[t]["loss_function"] for t in tasks}
+
+        self.net = MultiTaskCodecNet(
+            variant=self.variant,
+            tasks=tasks,
+            input_channels=self.input_channels,
+            output_channels=self.output_channels,
+            latent_channels=latent_channels,
+            conv_channels=conv_channels,
+            channels_per_task=channels_per_task,
+            use_uncertainty_weighting=(self.weighting == "uncertainty"),
+            legacy_broadcast=legacy_broadcast,
+            dtype=dtype,
+        )
+
+        # self-describing checkpoints (reference save_hyperparameters(),
+        # multi_task_compressor.py:64)
+        self.hyper_parameters = dict(
+            model_class=type(self).__name__,
+            tasks=list(tasks),
+            input_channels=list(self.input_channels),
+            output_channels=list(self.output_channels),
+            latent_channels=int(latent_channels),
+            conv_channels=int(conv_channels),
+            lmbda=float(lmbda),
+            learning_rate_main=float(learning_rate_main),
+            learning_rate_aux=float(learning_rate_aux),
+            legacy_broadcast=bool(legacy_broadcast),
+        )
+
+    # variant hooks -------------------------------------------------------
+
+    def _adjust_latent(self, m: int) -> Tuple[int, int]:
+        return m, m  # mixed: no split
+
+    def _compression_loss(self, likelihoods, x_hats):
+        return L.compression_loss_mixed(likelihoods, x_hats, self.tasks)
+
+    # core API ------------------------------------------------------------
+
+    def get_model_name(self):
+        return type(self).__name__
+
+    def example_batch(self, batch_size=1, image_size=256, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        batch = {}
+        for task, c in zip(self.tasks, self.input_channels):
+            rng, k = jax.random.split(rng)
+            batch[task] = jax.random.uniform(
+                k, (batch_size, image_size, image_size, c), jnp.float32)
+        return batch
+
+    def init(self, rng, batch=None, image_size=256):
+        if batch is None:
+            batch = self.example_batch(image_size=image_size)
+        p_rng, n_rng = jax.random.split(jax.random.fold_in(rng, 1))
+        return self.net.init({"params": p_rng, "noise": n_rng}, batch,
+                             training=True)
+
+    def forward(self, variables, batch, rng=None, training=False):
+        """-> (x_hats, likelihoods); reference forward()
+        (multi_task_compressor.py:491-505)."""
+        rngs = {"noise": rng} if (training and rng is not None) else None
+        return self.net.apply(variables, batch, training=training, rngs=rngs)
+
+    def loss_and_logs(self, variables, batch, rng=None, training=True):
+        """Total loss = lmbda * weighted_rec + rate (reference __step,
+        multi_task_compressor.py:420-447)."""
+        x_hats, likelihoods = self.forward(variables, batch, rng, training)
+        log_vars = None
+        if self.weighting == "uncertainty":
+            log_vars = variables["params"]["log_vars"]
+        rec, rec_logs = L.multitask_reconstruction_loss(
+            batch, x_hats, self.tasks, self.loss_types, log_vars)
+        comp, comp_logs = self._compression_loss(likelihoods, x_hats)
+        loss = self.lmbda * rec + comp
+        logs = {"rec_loss": rec, "compression_loss": comp, "loss": loss}
+        logs.update(rec_logs)
+        logs.update(comp_logs)
+        return loss, (logs, x_hats, likelihoods)
+
+    def aux_loss(self, variables):
+        return self.net.apply(variables, method=MultiTaskCodecNet.aux_loss)
+
+    # real coding ---------------------------------------------------------
+
+    def update_bottleneck_values(self, variables) -> CodecTables:
+        eb_params = variables["params"]["compressor"]["entropy_bottleneck"]
+        eb_params = jax.device_get(eb_params)
+        table, medians = build_eb_table(
+            dict(eb_params), np.asarray(eb_params["quantiles"]))
+        return CodecTables(eb=table, eb_medians=medians, gc=build_gc_table())
+
+    @partial(jax.jit, static_argnums=0)
+    def _compress_device(self, variables, batch):
+        y, z = self.net.apply(variables, batch,
+                              method=MultiTaskCodecNet.analyze)
+        medians = self.net.apply(variables,
+                                 method=MultiTaskCodecNet.eb_medians)
+        med = medians[None, None, None, :]
+        z_sym = jnp.round(z - med)
+        z_hat = z_sym + med
+        scales = self.net.apply(variables, z_hat,
+                                method=MultiTaskCodecNet.hyper_synthesize)
+        scales = scales[:, :y.shape[1], :y.shape[2], :]  # coding geometry
+        indexes = GaussianConditional.build_indexes(scales)
+        y_sym = jnp.round(y).astype(jnp.int32)
+        return y_sym, z_sym.astype(jnp.int32), indexes
+
+    def compress(self, variables, tables: CodecTables, batch,
+                 print_info: bool = False):
+        """-> dict(strings=[y_strings, z_strings], shape, y_shape), n_bytes
+        (reference compress(), multi_task_compressor.py:507-534)."""
+        y_sym, z_sym, indexes = self._compress_device(variables, batch)
+        y_sym = np.asarray(y_sym)
+        z_sym = np.asarray(z_sym)
+        indexes = np.asarray(indexes)
+        b, zh, zw, zc = z_sym.shape
+        z_idx = np.broadcast_to(
+            np.arange(zc, dtype=np.int32), z_sym.shape[1:]).ravel()
+
+        y_strings, z_strings = [], []
+        for i in range(b):
+            y_strings.append(rans.encode_with_indexes(
+                y_sym[i].ravel(), indexes[i].ravel(), tables.gc))
+            z_strings.append(rans.encode_with_indexes(
+                z_sym[i].ravel(), z_idx, tables.eb))
+
+        n_bytes = sum(len(s) for s in y_strings) + sum(len(s) for s in z_strings)
+        ans = {"strings": [y_strings, z_strings],
+               "shape": (zh, zw),
+               "y_shape": tuple(y_sym.shape[1:3])}
+        if print_info:
+            t0 = self.tasks[0]
+            bb, hh, ww, _ = np.asarray(batch[t0]).shape
+            bpp = n_bytes * 8 / bb / hh / ww / self.n_tasks
+            print(f"Number of actual bytes in a string is: {n_bytes}, "
+                  f"which gives a BPP = {bpp:.3f}")
+        return ans, n_bytes
+
+    @partial(jax.jit, static_argnums=0)
+    def _decompress_scales(self, variables, z_hat):
+        return self.net.apply(variables, z_hat,
+                              method=MultiTaskCodecNet.hyper_synthesize)
+
+    @partial(jax.jit, static_argnums=0)
+    def _decompress_synthesize(self, variables, y_hat):
+        return self.net.apply(variables, y_hat,
+                              method=MultiTaskCodecNet.synthesize_from_y)
+
+    def decompress(self, variables, tables: CodecTables, strings,
+                   shape, y_shape=None):
+        """strings=[y_strings, z_strings] -> {task: reconstruction}
+        (reference decompress(), multi_task_compressor.py:536-549 — without
+        the stock [0,1] clamp, like the reference)."""
+        y_strings, z_strings = strings
+        zh, zw = shape
+        zc = self.conv_channels * self.n_tasks
+        if y_shape is None:
+            y_shape = (zh * 4, zw * 4)  # two stride-2 hyper convs
+        b = len(z_strings)
+
+        z_idx = np.broadcast_to(
+            np.arange(zc, dtype=np.int32), (zh, zw, zc)).ravel()
+        z_sym = np.stack([
+            rans.decode_with_indexes(s, z_idx, tables.eb).reshape(zh, zw, zc)
+            for s in z_strings])
+        z_hat = jnp.asarray(z_sym, jnp.float32) \
+            + jnp.asarray(tables.eb_medians)[None, None, None, :]
+
+        scales = self._decompress_scales(variables, z_hat)
+        scales = scales[:, :y_shape[0], :y_shape[1], :]
+        indexes = np.asarray(GaussianConditional.build_indexes(scales))
+
+        m = self.latent_channels
+        y_sym = np.stack([
+            rans.decode_with_indexes(
+                y_strings[i], indexes[i].ravel(), tables.gc
+            ).reshape(y_shape[0], y_shape[1], m)
+            for i in range(b)])
+        y_hat = jnp.asarray(y_sym, jnp.float32)
+        return self._decompress_synthesize(variables, y_hat)
+
+
+class MultiTaskMixedLatentCompressor(MultiTaskCompressorBase):
+    """Model 2: one mixed latent for all tasks (src/models/mixed_latent.py)."""
+    variant = "mixed"
+    weighting = "uncertainty"
+
+
+class SingleTaskCompressor(MultiTaskMixedLatentCompressor):
+    """Model 1: per-task baseline (src/models/single_task_compressor.py) —
+    mixed machinery with one task and no loss balancing."""
+    weighting = "none"
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        assert self.n_tasks == 1, "SingleTaskCompressor takes exactly one task"
+
+
+class MultiTaskDisjointLatentCompressor(MultiTaskCompressorBase):
+    """Model 3: latent partitioned per task; any subset of tasks decodable
+    from its channel slice (src/models/disjoint_latent.py)."""
+    variant = "disjoint"
+    weighting = "uncertainty"
+
+    def _adjust_latent(self, m):
+        per_task = m // self.n_tasks
+        adjusted = per_task * self.n_tasks
+        if adjusted != m:
+            print(f"!! latent_channels {m} is not a multiple of n_tasks "
+                  f"{self.n_tasks}; auto-adjusted to {adjusted}")
+        return adjusted, per_task
+
+    def _compression_loss(self, likelihoods, x_hats):
+        return L.compression_loss_disjoint(
+            likelihoods, x_hats, self.tasks, self.channels_per_task)
+
+
+class MultiTaskSharedLatentCompressor(MultiTaskDisjointLatentCompressor):
+    """Model 4: per-task slices plus one shared slice stored once
+    (src/models/shared_latent.py)."""
+    variant = "shared"
+
+    def _adjust_latent(self, m):
+        blocks = self.n_tasks + 1
+        per_task = m // blocks
+        adjusted = per_task * blocks
+        if adjusted != m:
+            print(f"!! latent_channels {m} adjusted to {adjusted} so each "
+                  f"task and the shared part get equal channel blocks")
+        return adjusted, per_task
+
+    def _compression_loss(self, likelihoods, x_hats):
+        return L.compression_loss_shared(
+            likelihoods, x_hats, self.tasks, self.channels_per_task)
+
+
+MODEL_NUMBER = {
+    1: SingleTaskCompressor,
+    2: MultiTaskMixedLatentCompressor,
+    3: MultiTaskDisjointLatentCompressor,
+    4: MultiTaskSharedLatentCompressor,
+}
+
+MODEL_NAME = {cls.__name__: cls for cls in MODEL_NUMBER.values()}
+
+
+def build_model(model: int or str, tasks, latent_channels, conv_channels,
+                **kwargs):
+    """Construct a codec from the task registry (reference train.py:236-253)."""
+    cls = MODEL_NUMBER[model] if isinstance(model, int) else MODEL_NAME[model]
+    input_channels = tuple(task_parameters[t]["in_channels"] for t in tasks)
+    output_channels = tuple(task_parameters[t]["out_channels"] for t in tasks)
+    return cls(tasks=tuple(tasks), input_channels=input_channels,
+               output_channels=output_channels,
+               latent_channels=latent_channels, conv_channels=conv_channels,
+               **kwargs)
