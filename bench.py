@@ -1,0 +1,79 @@
+"""Benchmark: compress+decompress throughput of the single-task rgb codec
+(BASELINE.json primary metric: MP/s/chip, CLEVR config, 128 latents).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N, ...}
+
+vs_baseline divides by a reference-equivalent torch-CPU pipeline measured
+in-process (the reference publishes no throughput; see
+benchmarks/torch_baseline.py). Runs on whatever jax.devices() provides
+(the real TPU under the driver).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def measure_tpu_mps(batch_size=8, image_size=256, iters=10,
+                    conv_channels=100, latent=128):
+    from mmnc_tpu.models import build_model
+
+    model = build_model(1, ["rgb"], latent_channels=latent,
+                        conv_channels=conv_channels, lmbda=1e-2)
+    rng = np.random.default_rng(0)
+    batch = {"rgb": jnp.asarray(
+        rng.random((batch_size, image_size, image_size, 3), np.float32))}
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    tables = model.update_bottleneck_values(variables)
+
+    # warmup (compiles the device paths, builds the native coder)
+    ans, _ = model.compress(variables, tables, batch)
+    x_hats = model.decompress(variables, tables, ans["strings"],
+                              ans["shape"], ans["y_shape"])
+    jax.block_until_ready(x_hats)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ans, _ = model.compress(variables, tables, batch)
+        x_hats = model.decompress(variables, tables, ans["strings"],
+                                  ans["shape"], ans["y_shape"])
+        jax.block_until_ready(x_hats)
+    dt = (time.perf_counter() - t0) / iters
+
+    mp = batch_size * image_size * image_size / 1e6
+    return mp / dt
+
+
+def main():
+    value = measure_tpu_mps()
+
+    try:
+        from benchmarks.torch_baseline import measure_torch_mps
+        baseline = measure_torch_mps()
+    except Exception as e:  # noqa: BLE001
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        baseline = None
+
+    result = {
+        "metric": "compress+decompress throughput (single-task rgb, "
+                  "latent 128, conv 100, 256px)",
+        "value": round(value, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(value / baseline, 3) if baseline else None,
+        "baseline_mps_torch_cpu": round(baseline, 3) if baseline else None,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Batching, shuffling, and device prefetch for task-dict datasets.
+
+TPU-native replacement for the reference's torch DataLoader + collate
+(SURVEY.md C14, L0): datasets yield {task: HWC float32}; the loader stacks
+them into {task: (B,H,W,C)} batches, and `prefetch_to_device` keeps the
+next batch's H2D copy in flight (on a background thread) while the current
+step runs — the host pipeline never stalls the chip.
+"""
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+import jax
+
+
+class BatchLoader:
+    """Iterates {task: (B, H, W, C) np.float32} batches.
+
+    drop_last is always on (static shapes keep XLA from recompiling).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 21, num_epochs: Optional[int] = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_epochs = num_epochs
+
+    def __len__(self):
+        return len(self.dataset) // self.batch_size
+
+    def _epoch_order(self, epoch: int):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        return order
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        order = self._epoch_order(epoch)
+        n_batches = len(self)
+        for b in range(n_batches):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            samples = [self.dataset[int(i)] for i in idx]
+            yield {t: np.stack([s[t] for s in samples])
+                   for t in samples[0].keys()}
+
+    def __iter__(self):
+        epoch = 0
+        while self.num_epochs is None or epoch < self.num_epochs:
+            yield from self.epoch(epoch)
+            epoch += 1
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Wrap a host batch iterator with a background thread that stages
+    batches onto the device (optionally with a NamedSharding) ahead of use."""
+    q = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                if sharding is not None:
+                    batch = jax.tree.map(
+                        lambda x: jax.device_put(x, sharding), batch)
+                else:
+                    batch = jax.tree.map(jax.device_put, batch)
+                q.put(batch)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

@@ -227,21 +227,27 @@ class MultiTaskCompressorBase:
     def get_model_name(self):
         return type(self).__name__
 
-    def example_batch(self, batch_size=1, image_size=256, rng=None):
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
+    def example_batch(self, batch_size=1, image_size=256, rng=None, seed=0):
+        """Random batch with valid per-task ranges (host numpy — cheap)."""
+        nprng = np.random.default_rng(seed)
         batch = {}
         for task, c in zip(self.tasks, self.input_channels):
-            rng, k = jax.random.split(rng)
-            batch[task] = jax.random.uniform(
-                k, (batch_size, image_size, image_size, c), jnp.float32)
+            x = nprng.random(
+                (batch_size, image_size, image_size, c)).astype(np.float32)
+            if task == "semantic":
+                x = np.floor(x * 16.99)
+            batch[task] = jnp.asarray(x)
         return batch
 
     def init(self, rng, batch=None, image_size=256):
+        """Initialize params. The whole flax init is wrapped in one jit so it
+        compiles (and persistently caches) as a single XLA program instead of
+        dispatching hundreds of eager ops."""
         if batch is None:
             batch = self.example_batch(image_size=image_size)
         p_rng, n_rng = jax.random.split(jax.random.fold_in(rng, 1))
-        return self.net.init({"params": p_rng, "noise": n_rng}, batch,
-                             training=True)
+        init_fn = jax.jit(partial(self.net.init, training=True))
+        return init_fn({"params": p_rng, "noise": n_rng}, batch)
 
     def forward(self, variables, batch, rng=None, training=False):
         """-> (x_hats, likelihoods); reference forward()

@@ -31,11 +31,21 @@ Dtype = Any
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
+import os
+
+# Conv accumulation precision policy. On TPU, f32 convs default to fast
+# single-pass bf16 MXU execution; MMNC_CONV_PRECISION=highest opts into
+# exact f32 (6-pass) when bit-level parity with CPU math matters. On CPU
+# (tests) convs are exact f32 regardless. NOTE: "highest" multiplies the
+# HLO ~6x per conv — large enough to overwhelm slow AOT compilers.
+_PRECISION_ENV = os.environ.get("MMNC_CONV_PRECISION", "default").lower()
+_PRECISION = (jax.lax.Precision.HIGHEST if _PRECISION_ENV == "highest"
+              else None)
+
+
 def _conv_precision(dtype):
-    """f32 convs use full-precision MXU passes (TPU defaults to fast bf16
-    passes for f32, which breaks entropy-model parity); bf16 inputs are the
-    explicit fast path and keep the default."""
-    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    del dtype
+    return _PRECISION
 
 
 def conv(x, w, stride: int = 2):
@@ -69,6 +79,13 @@ def deconv(x, w, stride: int = 2):
     )
 
 
+# torch Conv2d default init scale (kaiming-uniform, a=sqrt(5) -> variance
+# 1/(3*fan_in)). The deep IGDN decoder chains amplify activations
+# superlinearly, so the reference-matching (smaller) init scale matters for
+# stability of the untrained net.
+_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
 class Conv(nn.Module):
     """conv(k,s) module matching the reference's `conv` helper (SURVEY.md X7)."""
     features: int
@@ -81,9 +98,7 @@ class Conv(nn.Module):
         cin = x.shape[-1]
         k = self.kernel_size
         w = self.param(
-            "kernel",
-            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
-            (k, k, cin, self.features), jnp.float32)
+            "kernel", _kernel_init, (k, k, cin, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         y = conv(x.astype(self.dtype), w.astype(self.dtype), self.stride)
         return y + b.astype(self.dtype)
@@ -101,9 +116,7 @@ class Deconv(nn.Module):
         cin = x.shape[-1]
         k = self.kernel_size
         w = self.param(
-            "kernel",
-            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
-            (k, k, cin, self.features), jnp.float32)
+            "kernel", _kernel_init, (k, k, cin, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         y = deconv(x.astype(self.dtype), w.astype(self.dtype), self.stride)
         return y + b.astype(self.dtype)

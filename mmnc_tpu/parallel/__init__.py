@@ -1,0 +1,4 @@
+from .mesh import (
+    make_mesh, batch_sharding, replicated_sharding, shard_batch,
+    shard_train_state,
+)

@@ -1,0 +1,2 @@
+from .state import TrainState, create_train_state
+from .step import make_train_step, make_eval_step

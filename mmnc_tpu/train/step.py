@@ -1,0 +1,75 @@
+"""One fused jit'd train step (and eval step) over an optional device mesh.
+
+Replaces the reference's Lightning manual-optimization step
+(src/models/multi_task_compressor.py:420-476): forward, both losses, both
+gradient partitions, optimizer update, lr schedule, and train metrics all
+compile into a single XLA program. Under a mesh, the batch is sharded along
+the "data" axis and XLA inserts the gradient psums over ICI — the TPU-native
+replacement for the reference's (never-exercised) NCCL path (SURVEY.md §2.3).
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import metrics as M
+from .state import TrainState
+
+
+def _metric_logs(model, batch, x_hats, prefix):
+    """Per-task PSNR / MS-SSIM on x255 values (reference average_metrics,
+    multi_task_compressor.py:359-384; semantic argmaxed, data_range 17)."""
+    logs = {}
+    for task in model.tasks:
+        pred = x_hats[task]
+        target = batch[task]
+        if task == "semantic":
+            pred = jnp.argmax(pred, axis=-1)[..., None].astype(jnp.float32)
+            mult, rng_ = 1.0, 17.0
+        else:
+            mult, rng_ = 255.0, 255.0
+        logs[f"{prefix}/{task}/psnr"] = M.psnr(pred * mult, target * mult, rng_)
+        logs[f"{prefix}/{task}/ms-ssim"] = M.ms_ssim(
+            pred * mult, target * mult, rng_)
+    return logs
+
+
+def make_train_step(model, compute_metrics: bool = True, donate: bool = True):
+    """Returns train_step(state, batch, rng) -> (state, logs), jit'd."""
+
+    def loss_fn(params, batch, rng):
+        variables = {"params": params}
+        main_loss, (logs, x_hats, _) = model.loss_and_logs(
+            variables, batch, rng=rng, training=True)
+        aux = model.aux_loss(variables)
+        logs["aux_loss"] = aux
+        return main_loss + aux, (logs, x_hats)
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (_, (logs, x_hats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, rng)
+        state = state.apply_gradients(grads)
+        if compute_metrics:
+            logs.update(_metric_logs(model, batch, x_hats, "train"))
+        logs = {k if "/" in k else f"train/{k}": v for k, v in logs.items()}
+        return state, logs
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, compute_metrics: bool = True):
+    """Returns eval_step(params, batch) -> logs (deterministic rounding)."""
+
+    def eval_step(params, batch):
+        variables = {"params": params}
+        loss, (logs, x_hats, _) = model.loss_and_logs(
+            variables, batch, rng=None, training=False)
+        if compute_metrics:
+            logs.update(_metric_logs(model, batch, x_hats, "val"))
+        logs = {k if "/" in k else f"val/{k}": v for k, v in logs.items()}
+        return logs
+
+    return jax.jit(eval_step)

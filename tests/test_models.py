@@ -18,11 +18,9 @@ from mmnc_tpu.models import (
 
 
 def _batch_for(model, bs=1, seed=0):
-    batch = model.example_batch(batch_size=bs, image_size=256,
-                                rng=jax.random.PRNGKey(seed))
-    if "semantic" in batch:
-        batch["semantic"] = jnp.floor(batch["semantic"] * 16.99)
-    return batch
+    # example_batch already emits valid per-task ranges (semantic = integer
+    # class indices 0..16)
+    return model.example_batch(batch_size=bs, image_size=256, seed=seed)
 
 
 @pytest.mark.parametrize("model_num,tasks", [

@@ -1,0 +1,136 @@
+"""Training subsystem tests: fused two-optimizer step, overfit smoke, and
+data-parallel mesh equivalence (SURVEY.md §4's implied test pyramid)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax.traverse_util import flatten_dict
+
+from mmnc_tpu.models import build_model
+from mmnc_tpu.train import create_train_state, make_train_step, make_eval_step
+from mmnc_tpu.train.state import param_partition
+from mmnc_tpu.parallel import make_mesh, shard_batch, shard_train_state
+from mmnc_tpu.data import SyntheticMultiTaskDataset, BatchLoader
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = build_model(1, ["mono"], latent_channels=8, conv_channels=4,
+                        lmbda=1e-2, learning_rate_main=1e-3)
+    ds = SyntheticMultiTaskDataset(["mono"], size=4, image_size=256)
+    batch = next(iter(BatchLoader(ds, batch_size=2, shuffle=False)))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jax.tree.map(jnp.asarray, batch))
+    return model, batch, variables
+
+
+def test_param_partition_labels(setup):
+    model, batch, variables = setup
+    labels = flatten_dict(param_partition(variables["params"]))
+    n_aux = sum(1 for v in labels.values() if v == "aux")
+    assert n_aux == 1  # exactly the EB quantiles
+    for k, v in labels.items():
+        assert v == ("aux" if k[-1] == "quantiles" else "main")
+
+
+def test_quantiles_only_updated_by_aux(setup):
+    """After one step, quantiles must move only due to the aux loss and
+    density params must not receive aux gradients (the reference's strict
+    optimizer split, multi_task_compressor.py:389-418)."""
+    model, batch, variables = setup
+    state = create_train_state(variables["params"], total_steps=10,
+                               learning_rate_main=1e-3)
+    step = make_train_step(model, compute_metrics=False, donate=False)
+    new_state, logs = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(logs["train/loss"]))
+    assert float(logs["train/aux_loss"]) > 0
+    q0 = variables["params"]["compressor"]["entropy_bottleneck"]["quantiles"]
+    q1 = new_state.params["compressor"]["entropy_bottleneck"]["quantiles"]
+    assert not np.allclose(np.asarray(q0), np.asarray(q1))
+
+
+def test_overfit_single_batch_loss_decreases(setup):
+    """The reference's local smoke-test crutch (train.py:191 Subset) as a
+    real test: a few steps on one batch must reduce the loss."""
+    model, batch, variables = setup
+    state = create_train_state(variables["params"], total_steps=30,
+                               learning_rate_main=1e-3)
+    step = make_train_step(model, compute_metrics=False, donate=False)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(8):
+        state, logs = step(state, batch, rng)
+        losses.append(float(logs["train/loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def test_eval_step_runs_and_logs(setup):
+    model, batch, variables = setup
+    eval_step = make_eval_step(model, compute_metrics=True)
+    logs = eval_step(variables["params"], batch)
+    assert "val/loss" in logs and "val/mono/psnr" in logs
+    assert np.isfinite(float(logs["val/mono/psnr"]))
+
+
+def test_data_parallel_step_matches_single_device(setup):
+    """One step on an 8-device mesh (batch sharded, params replicated) must
+    produce the same new params as the unsharded step."""
+    model, batch, variables = setup
+    big_batch = {k: np.concatenate([v] * 4) for k, v in batch.items()}  # B=8
+
+    step = make_train_step(model, compute_metrics=False, donate=False)
+    s0 = create_train_state(variables["params"], total_steps=10,
+                            learning_rate_main=1e-3)
+    ref_state, ref_logs = step(s0, big_batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(8)
+    s1 = create_train_state(variables["params"], total_steps=10,
+                            learning_rate_main=1e-3)
+    s1 = shard_train_state(s1, mesh)
+    sharded = shard_batch(big_batch, mesh)
+    dp_state, dp_logs = step(s1, sharded, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(dp_logs["train/loss"]),
+                               float(ref_logs["train/loss"]), rtol=1e-5)
+    ref_flat = flatten_dict(ref_state.params)
+    dp_flat = flatten_dict(dp_state.params)
+    for k in ref_flat:
+        np.testing.assert_allclose(
+            np.asarray(dp_flat[k]), np.asarray(ref_flat[k]),
+            rtol=2e-4, atol=2e-6, err_msg=str(k))
+
+
+def test_cosine_schedule_endpoints():
+    from mmnc_tpu.train.state import create_train_state
+    import optax
+    sched = optax.cosine_decay_schedule(1e-4, 100, alpha=1e-8 / 1e-4)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(100)) == pytest.approx(1e-8, rel=1e-3)
+
+
+def test_synthetic_dataset_tasks_and_ranges():
+    ds = SyntheticMultiTaskDataset(
+        ["rgb", "depth_euclidean", "normal", "semantic", "mono"],
+        size=4, image_size=64)
+    s = ds[0]
+    assert s["rgb"].shape == (64, 64, 3)
+    assert s["depth_euclidean"].shape == (64, 64, 1)
+    assert s["normal"].shape == (64, 64, 3)
+    assert s["semantic"].shape == (64, 64, 1)
+    labels = np.unique(s["semantic"])
+    assert labels.min() >= 0 and labels.max() <= 16
+    # determinism
+    s2 = ds[0]
+    np.testing.assert_array_equal(s["rgb"], s2["rgb"])
+    # alignment: objects visible in rgb are where semantic > 0
+    assert (s["semantic"] > 0).any()
+
+
+def test_batch_loader_shapes_and_drop_last():
+    ds = SyntheticMultiTaskDataset(["mono"], size=5, image_size=32)
+    loader = BatchLoader(ds, batch_size=2, shuffle=True)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["mono"].shape == (2, 32, 32, 1)
