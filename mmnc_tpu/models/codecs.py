@@ -274,6 +274,35 @@ class MultiTaskCompressorBase:
     def aux_loss(self, variables):
         return self.net.apply(variables, method=MultiTaskCodecNet.aux_loss)
 
+    def variant_slices(self):
+        """[(name, lo, hi)] y-channel ownership per task (None for mixed)."""
+        if self.variant == "mixed":
+            return None
+        c = self.channels_per_task
+        slices = [(t, i * c, (i + 1) * c) for i, t in enumerate(self.tasks)]
+        if self.variant == "shared":
+            slices.append(("shared", self.latent_channels - c,
+                           self.latent_channels))
+        return slices
+
+    @partial(jax.jit, static_argnums=0)
+    def encode_eval(self, variables, batch):
+        """Deterministic quantized latents (y_hat, z_hat) for analysis."""
+        y, z = self.net.apply(variables, batch,
+                              method=MultiTaskCodecNet.analyze)
+        medians = self.net.apply(variables,
+                                 method=MultiTaskCodecNet.eb_medians)
+        med = medians[None, None, None, :]
+        z_hat = jnp.round(z - med) + med
+        return jnp.round(y), z_hat
+
+    @partial(jax.jit, static_argnums=0)
+    def decode_from_latents(self, variables, y_hat, z_hat):
+        """Latents -> {task: reconstruction} (analysis/probing path)."""
+        del z_hat  # scales only affect rate, not the reconstruction
+        return self.net.apply(variables, y_hat,
+                              method=MultiTaskCodecNet.synthesize_from_y)
+
     # real coding ---------------------------------------------------------
 
     def update_bottleneck_values(self, variables) -> CodecTables:

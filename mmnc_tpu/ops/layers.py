@@ -142,6 +142,11 @@ def nonneg_forward(reparam, minimum: float = 0.0):
     return out * out - _PEDESTAL
 
 
+# GDN implementation: "xla" (einsum chain, XLA-fused) or "pallas" (fused
+# single-VMEM-pass kernel, ops/gdn_pallas.py). Pallas only engages on TPU.
+_GDN_IMPL = os.environ.get("MMNC_GDN_IMPL", "xla").lower()
+
+
 class GDN(nn.Module):
     """Generalized Divisive Normalization (Balle et al.).
 
@@ -164,6 +169,11 @@ class GDN(nn.Module):
         gamma = nonneg_forward(gamma_r)
 
         x = x.astype(self.dtype)
+        if _GDN_IMPL == "pallas" and jax.default_backend() not in ("cpu",):
+            from .gdn_pallas import gdn_pallas
+            return gdn_pallas(x, gamma.astype(self.dtype),
+                              beta.astype(self.dtype), inverse=self.inverse)
+
         x2 = x * x
         norm = jnp.einsum(
             "bhwc,oc->bhwo", x2, gamma.astype(self.dtype),
