@@ -23,38 +23,47 @@ import jax
 import jax.numpy as jnp
 
 
-def measure_tpu_mps(batch_size=8, image_size=256, iters=10,
+def measure_tpu_mps(batch_size=512, image_size=256, iters=5,
                     conv_channels=100, latent=128):
+    """Steady-state compress+decompress throughput. Large batches amortize
+    the per-call dispatch/transfer overhead of the tunneled TPU; falls back
+    to smaller batches on OOM."""
     from mmnc_tpu.models import build_model
 
     model = build_model(1, ["rgb"], latent_channels=latent,
                         conv_channels=conv_channels, lmbda=1e-2)
     rng = np.random.default_rng(0)
-    batch = {"rgb": jnp.asarray(
-        rng.random((batch_size, image_size, image_size, 3), np.float32))}
-    variables = model.init(jax.random.PRNGKey(0), batch)
-    tables = model.update_bottleneck_values(variables)
 
-    # warmup (compiles the device paths, builds the native coder)
-    ans, _ = model.compress(variables, tables, batch)
-    x_hats = model.decompress(variables, tables, ans["strings"],
-                              ans["shape"], ans["y_shape"])
-    jax.block_until_ready(x_hats)
+    for bs in (batch_size, batch_size // 4, batch_size // 16):
+        try:
+            batch = {"rgb": jnp.asarray(
+                rng.random((bs, image_size, image_size, 3), np.float32))}
+            variables = model.init(jax.random.PRNGKey(0), batch)
+            tables = model.update_bottleneck_values(variables)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        ans, _ = model.compress(variables, tables, batch)
-        x_hats = model.decompress(variables, tables, ans["strings"],
-                                  ans["shape"], ans["y_shape"])
-        jax.block_until_ready(x_hats)
-    dt = (time.perf_counter() - t0) / iters
+            # warmup (compiles the device paths, builds the native coder)
+            ans, _ = model.compress(variables, tables, batch)
+            x_hats = model.decompress(variables, tables, ans["strings"],
+                                      ans["shape"], ans["y_shape"])
+            jax.block_until_ready(x_hats)
 
-    mp = batch_size * image_size * image_size / 1e6
-    return mp / dt
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                ans, _ = model.compress(variables, tables, batch)
+                x_hats = model.decompress(variables, tables, ans["strings"],
+                                          ans["shape"], ans["y_shape"])
+                jax.block_until_ready(x_hats)
+            dt = (time.perf_counter() - t0) / iters
+            return bs * image_size * image_size / 1e6 / dt, bs
+        except Exception as e:  # noqa: BLE001 — retry smaller on OOM
+            if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e):
+                raise
+            print(f"batch {bs} OOM'd, retrying smaller", file=sys.stderr)
+    raise RuntimeError("all batch sizes OOM'd")
 
 
 def main():
-    value = measure_tpu_mps()
+    value, bs = measure_tpu_mps()
 
     try:
         from benchmarks.torch_baseline import measure_torch_mps
@@ -70,6 +79,7 @@ def main():
         "unit": "MP/s",
         "vs_baseline": round(value / baseline, 3) if baseline else None,
         "baseline_mps_torch_cpu": round(baseline, 3) if baseline else None,
+        "batch_size": bs,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

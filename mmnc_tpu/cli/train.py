@@ -59,6 +59,7 @@ def parse_args(argv):
                    help="alias: any non-'none' value implies --resume")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--no-metrics", action="store_true")
+    p.add_argument("--log-every", default=10, type=int)
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--legacy-broadcast", action="store_true", default=True)
     p.add_argument("--corrected-geometry", dest="legacy_broadcast",
@@ -112,6 +113,7 @@ def main(argv=None):
         compute_metrics=not args.no_metrics,
         n_devices=args.devices if args.devices > 1 else None,
         profile_dir=args.profile_dir, max_steps=args.max_steps,
+        log_every=args.log_every,
     )
     for k in sorted(val_logs):
         print(f"  {k}: {val_logs[k]:.5g}")

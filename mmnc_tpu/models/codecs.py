@@ -332,10 +332,8 @@ class MultiTaskCompressorBase:
                  print_info: bool = False):
         """-> dict(strings=[y_strings, z_strings], shape, y_shape), n_bytes
         (reference compress(), multi_task_compressor.py:507-534)."""
-        y_sym, z_sym, indexes = self._compress_device(variables, batch)
-        y_sym = np.asarray(y_sym)
-        z_sym = np.asarray(z_sym)
-        indexes = np.asarray(indexes)
+        y_sym, z_sym, indexes = jax.device_get(
+            self._compress_device(variables, batch))
         b, zh, zw, zc = z_sym.shape
         z_idx = np.broadcast_to(
             np.arange(zc, dtype=np.int32), z_sym.shape[1:]).ravel()
@@ -359,10 +357,18 @@ class MultiTaskCompressorBase:
                   f"which gives a BPP = {bpp:.3f}")
         return ans, n_bytes
 
-    @partial(jax.jit, static_argnums=0)
-    def _decompress_scales(self, variables, z_hat):
-        return self.net.apply(variables, z_hat,
-                              method=MultiTaskCodecNet.hyper_synthesize)
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _decompress_indexes(self, variables, z_sym, y_shape):
+        """z symbols -> Gaussian CDF-row indexes for y, fully on device
+        (the eager build_indexes loop would cost one tunnel RTT per scale
+        table entry)."""
+        medians = self.net.apply(variables,
+                                 method=MultiTaskCodecNet.eb_medians)
+        z_hat = z_sym.astype(jnp.float32) + medians[None, None, None, :]
+        scales = self.net.apply(variables, z_hat,
+                                method=MultiTaskCodecNet.hyper_synthesize)
+        scales = scales[:, :y_shape[0], :y_shape[1], :]
+        return GaussianConditional.build_indexes(scales)
 
     @partial(jax.jit, static_argnums=0)
     def _decompress_synthesize(self, variables, y_hat):
@@ -386,12 +392,9 @@ class MultiTaskCompressorBase:
         z_sym = np.stack([
             rans.decode_with_indexes(s, z_idx, tables.eb).reshape(zh, zw, zc)
             for s in z_strings])
-        z_hat = jnp.asarray(z_sym, jnp.float32) \
-            + jnp.asarray(tables.eb_medians)[None, None, None, :]
 
-        scales = self._decompress_scales(variables, z_hat)
-        scales = scales[:, :y_shape[0], :y_shape[1], :]
-        indexes = np.asarray(GaussianConditional.build_indexes(scales))
+        indexes = jax.device_get(self._decompress_indexes(
+            variables, jnp.asarray(z_sym), tuple(y_shape)))
 
         m = self.latent_channels
         y_sym = np.stack([

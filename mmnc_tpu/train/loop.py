@@ -43,6 +43,7 @@ def fit(
     n_devices: Optional[int] = None,
     profile_dir: Optional[str] = None,
     max_steps: Optional[int] = None,
+    log_every: int = 10,
 ):
     """Train `model`; returns (state, last_val_logs)."""
     run_dir = os.path.join(out_dir, run_name)
@@ -96,7 +97,11 @@ def fit(
             state, logs = train_step(state, batch, step_rng)
             if profile_dir and step_no == 10:
                 jax.profiler.stop_trace()
-            logger.log(step_no, jax.device_get(logs))
+            # pull logs only every log_every steps: device_get forces a
+            # host sync, and on a tunneled TPU that RTT dominates small
+            # models' step time — in between, steps dispatch async
+            if step_no % log_every == 0:
+                logger.log(step_no, jax.device_get(logs))
             if max_steps is not None and int(state.step) >= max_steps:
                 done = True
                 break
