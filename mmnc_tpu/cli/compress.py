@@ -55,6 +55,15 @@ def main(argv=None):
 
     tables = model.update_bottleneck_values(variables)
 
+    # corrected-geometry twin: same params, scales cropped to y's support
+    from ..models import MODEL_NAME
+    model_corrected = MODEL_NAME[hp["model_class"]](
+        tasks=tuple(hp["tasks"]), input_channels=tuple(hp["input_channels"]),
+        output_channels=tuple(hp["output_channels"]),
+        latent_channels=hp["latent_channels"],
+        conv_channels=hp["conv_channels"], lmbda=hp["lmbda"],
+        legacy_broadcast=False)
+
     if args.dataset == "synthetic":
         ds = SyntheticMultiTaskDataset(model.tasks, size=1024,
                                        image_size=args.image_size)
@@ -66,6 +75,7 @@ def main(argv=None):
     total_bytes = 0
     total_pixels = 0
     est_bpp_sum = 0.0
+    est_corrected_sum = 0.0
     n_batches = 0
     for i, batch in enumerate(loader):
         if args.num_batches is not None and i >= args.num_batches:
@@ -85,18 +95,26 @@ def main(argv=None):
 
         # the variant compression loss is exactly bits/(B*H*W*n_tasks),
         # directly comparable to the bitstream bpp (reference compress()
-        # print_info, multi_task_compressor.py:520-532)
+        # print_info, multi_task_compressor.py:520-532). NOTE: under the
+        # default legacy_broadcast geometry the training-time estimate
+        # counts each saturated-latent y value 16x (SURVEY.md §2.4); the
+        # corrected-geometry estimate is what the real coder should match.
         _, lik = model.forward(variables, jbatch, training=False)
         est, _ = model._compression_loss(lik, jbatch)
         est_bpp_sum += float(est)
+        _, lik_c = model_corrected.forward(variables, jbatch, training=False)
+        est_c, _ = model_corrected._compression_loss(lik_c, jbatch)
+        est_corrected_sum += float(est_c)
         n_batches += 1
 
     actual_bpp = total_bytes * 8 / total_pixels
     est_bpp = est_bpp_sum / max(n_batches, 1)
+    est_corrected = est_corrected_sum / max(n_batches, 1)
     print(f"batches: {n_batches}  bytes: {total_bytes}")
-    print(f"actual BPP (rANS bitstream): {actual_bpp:.4f}")
-    print(f"estimated BPP (likelihoods): {est_bpp:.4f}")
-    return actual_bpp, est_bpp
+    print(f"actual BPP (rANS bitstream):            {actual_bpp:.4f}")
+    print(f"estimated BPP (training geometry):      {est_bpp:.4f}")
+    print(f"estimated BPP (corrected geometry):     {est_corrected:.4f}")
+    return actual_bpp, est_corrected
 
 
 if __name__ == "__main__":

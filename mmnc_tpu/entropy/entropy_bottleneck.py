@@ -117,7 +117,10 @@ class EntropyBottleneck(nn.Module):
             x_hat = quantize_round(x, medians[None, None, None, :])
 
         b, h, w, c = x.shape
-        v = jnp.transpose(x_hat, (3, 0, 1, 2)).reshape(c, 1, -1)
+        # density math always in f32 (bf16 activations upcast here so the
+        # likelihood/rate estimates stay accurate in mixed precision)
+        v = jnp.transpose(x_hat.astype(jnp.float32), (3, 0, 1, 2)
+                          ).reshape(c, 1, -1)
         lower = _logits_cumulative(params, v - 0.5, stop_density_grad=False)
         upper = _logits_cumulative(params, v + 0.5, stop_density_grad=False)
         likelihood = _sign_sigmoid_likelihood(lower, upper)

@@ -57,8 +57,8 @@ class GaussianConditional:
         scales (B,M,4,4) at 256px input (SURVEY.md §2.4 "critical geometry
         quirk"); reproducing that requires plain numpy-style broadcast here.
         """
-        scales = lower_bound(scales, SCALE_BOUND)
-        v = jnp.abs(values)
+        scales = lower_bound(scales.astype(jnp.float32), SCALE_BOUND)
+        v = jnp.abs(values.astype(jnp.float32))
         upper = _std_cumulative((0.5 - v) / scales)
         lower = _std_cumulative((-0.5 - v) / scales)
         return lower_bound(upper - lower, LIKELIHOOD_BOUND)

@@ -27,6 +27,8 @@ _LOG2 = float(jnp.log(2.0))
 
 
 def reconstruction_loss(x_hat, x, loss_type: str):
+    x_hat = x_hat.astype(jnp.float32)
+    x = x.astype(jnp.float32)
     if loss_type == "mse":
         err = (x - x_hat) ** 2
         return jnp.mean(jnp.sum(err, axis=(1, 2, 3))) / x.shape[-1]
