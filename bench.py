@@ -34,6 +34,8 @@ def measure_tpu_mps(batch_size=512, image_size=256, iters=5,
                         conv_channels=conv_channels, lmbda=1e-2)
     rng = np.random.default_rng(0)
 
+    from mmnc_tpu.models.streaming import stream_roundtrip
+
     for bs in (batch_size, batch_size // 4, batch_size // 16):
         try:
             batch = {"rgb": jnp.asarray(
@@ -42,17 +44,14 @@ def measure_tpu_mps(batch_size=512, image_size=256, iters=5,
             tables = model.update_bottleneck_values(variables)
 
             # warmup (compiles the device paths, builds the native coder)
-            ans, _ = model.compress(variables, tables, batch)
-            x_hats = model.decompress(variables, tables, ans["strings"],
-                                      ans["shape"], ans["y_shape"])
-            jax.block_until_ready(x_hats)
+            for x_hats, _ in stream_roundtrip(model, variables, tables,
+                                              [batch]):
+                jax.block_until_ready(x_hats)
 
             t0 = time.perf_counter()
-            for _ in range(iters):
-                ans, _ = model.compress(variables, tables, batch)
-                x_hats = model.decompress(variables, tables, ans["strings"],
-                                          ans["shape"], ans["y_shape"])
-                jax.block_until_ready(x_hats)
+            results = list(stream_roundtrip(model, variables, tables,
+                                            [batch] * iters))
+            jax.block_until_ready(results[-1][0])
             dt = (time.perf_counter() - t0) / iters
             return bs * image_size * image_size / 1e6 / dt, bs
         except Exception as e:  # noqa: BLE001 — retry smaller on OOM

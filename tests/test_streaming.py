@@ -1,0 +1,29 @@
+"""Pipelined streaming round trip == per-batch compress/decompress."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmnc_tpu.models import build_model
+from mmnc_tpu.models.streaming import stream_roundtrip
+
+
+def test_stream_matches_sequential():
+    m = build_model(2, ["rgb"], latent_channels=8, conv_channels=4,
+                    lmbda=1e-2)
+    batches = [m.example_batch(batch_size=2, image_size=256, seed=s)
+               for s in (0, 1, 2)]
+    v = m.init(jax.random.PRNGKey(0), batches[0])
+    tables = m.update_bottleneck_values(v)
+
+    streamed = list(stream_roundtrip(m, v, tables, batches))
+    assert len(streamed) == 3
+
+    for batch, (x_hats, n_bytes) in zip(batches, streamed):
+        ans, n_ref = m.compress(v, tables, batch)
+        ref = m.decompress(v, tables, ans["strings"], ans["shape"],
+                           ans["y_shape"])
+        assert n_bytes == n_ref
+        for t in m.tasks:
+            np.testing.assert_allclose(np.asarray(x_hats[t]),
+                                       np.asarray(ref[t]), atol=1e-5)
