@@ -94,23 +94,28 @@ class MultiTaskCodecNet(nn.Module):
         c = self.channels_per_task
         return u[..., i * c:(i + 1) * c]
 
+    def decode_one_head(self, u, i: int) -> jnp.ndarray:
+        """Decode task i from the synthesized tensor / raw y_hat."""
+        if self.variant == "mixed":
+            v = u
+        elif self.variant == "disjoint":
+            v = self._task_slice(u, i)
+        else:  # shared: own slice + the last (shared) block
+            c = self.channels_per_task
+            v = jnp.concatenate([self._task_slice(u, i), u[..., -c:]],
+                                axis=-1)
+        if self.variant in ("disjoint", "shared"):
+            v = self.upsamples[i](v)
+        return self.output_heads[i](v)
+
     def decode_heads(self, u) -> Dict[str, jnp.ndarray]:
         """Route the synthesized tensor (mixed) or raw y_hat (disjoint/
         shared) into the per-task decoder heads."""
-        x_hats = {}
-        for i, task in enumerate(self.tasks):
-            if self.variant == "mixed":
-                v = u
-            elif self.variant == "disjoint":
-                v = self._task_slice(u, i)
-            else:  # shared: own slice + the last (shared) block
-                c = self.channels_per_task
-                v = jnp.concatenate([self._task_slice(u, i), u[..., -c:]],
-                                    axis=-1)
-            if self.variant in ("disjoint", "shared"):
-                v = self.upsamples[i](v)
-            x_hats[task] = self.output_heads[i](v)
-        return x_hats
+        return {task: self.decode_one_head(u, i)
+                for i, task in enumerate(self.tasks)}
+
+    def synthesize_one_task(self, y_hat, i: int):
+        return self.decode_one_head(self.compressor.synthesize(y_hat), i)
 
     def synthesize_from_y(self, y_hat):
         return self.decode_heads(self.compressor.synthesize(y_hat))
@@ -404,6 +409,84 @@ class MultiTaskCompressorBase:
             for i in range(b)])
         y_hat = jnp.asarray(y_sym, jnp.float32)
         return self._decompress_synthesize(variables, y_hat)
+
+
+    # --- per-task partial coding (disjoint/shared only) -------------------
+    # The separable-latent designs exist so a SUBSET of tasks can be decoded
+    # from a subset of the code (reference rationale,
+    # src/models/disjoint_latent.py docstring) — but the reference encodes
+    # y as one stream and never implements partial decode. Here each task
+    # slice (plus the shared block and z) is its own rANS stream.
+
+    def compress_partial(self, variables, tables: CodecTables, batch):
+        """-> (ans dict with per-slice streams, total_bytes)."""
+        slices = self.variant_slices()
+        assert slices is not None, "partial coding needs disjoint/shared"
+        y_sym, z_sym, indexes = jax.device_get(
+            self._compress_device(variables, batch))
+        b, zh, zw, zc = z_sym.shape
+        z_idx = np.broadcast_to(
+            np.arange(zc, dtype=np.int32), (zh, zw, zc)).ravel()
+
+        streams = {name: [] for name, _, _ in slices}
+        z_strings = []
+        total = 0
+        for i in range(b):
+            for name, lo, hi in slices:
+                s = rans.encode_with_indexes(
+                    y_sym[i, ..., lo:hi].ravel(),
+                    indexes[i, ..., lo:hi].ravel(), tables.gc)
+                streams[name].append(s)
+                total += len(s)
+            zs = rans.encode_with_indexes(z_sym[i].ravel(), z_idx, tables.eb)
+            z_strings.append(zs)
+            total += len(zs)
+        ans = {"task_streams": streams, "z_strings": z_strings,
+               "shape": (zh, zw), "y_shape": tuple(y_sym.shape[1:3])}
+        return ans, total
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _synthesize_task(self, variables, y_hat, task_index):
+        return self.net.apply(
+            variables, y_hat, task_index,
+            method=MultiTaskCodecNet.synthesize_one_task)
+
+    def decompress_tasks(self, variables, tables: CodecTables, ans,
+                         tasks) -> Dict[str, jnp.ndarray]:
+        """Decode only `tasks` using only their slice streams (+ shared/z)."""
+        slices = {name: (lo, hi) for name, lo, hi in self.variant_slices()}
+        needed = list(tasks)
+        slice_names = list(needed)
+        if self.variant == "shared":
+            slice_names.append("shared")
+
+        zh, zw = ans["shape"]
+        y_shape = ans["y_shape"]
+        zc = self.conv_channels * self.n_tasks
+        z_idx = np.broadcast_to(
+            np.arange(zc, dtype=np.int32), (zh, zw, zc)).ravel()
+        z_sym = np.stack([
+            rans.decode_with_indexes(s, z_idx, tables.eb).reshape(zh, zw, zc)
+            for s in ans["z_strings"]])
+        indexes = jax.device_get(self._decompress_indexes(
+            variables, jnp.asarray(z_sym), tuple(y_shape)))
+
+        b = z_sym.shape[0]
+        y_hat = np.zeros((b, *y_shape, self.latent_channels), np.float32)
+        for name in slice_names:
+            lo, hi = slices[name]
+            for i in range(b):
+                y_hat[i, ..., lo:hi] = rans.decode_with_indexes(
+                    ans["task_streams"][name][i],
+                    indexes[i, ..., lo:hi].ravel(), tables.gc
+                ).reshape(*y_shape, hi - lo)
+
+        y_hat = jnp.asarray(y_hat)
+        out = {}
+        for t in needed:
+            ti = self.tasks.index(t)
+            out[t] = self._synthesize_task(variables, y_hat, ti)
+        return out
 
 
 class MultiTaskMixedLatentCompressor(MultiTaskCompressorBase):

@@ -23,6 +23,29 @@ def psnr(pred, target, data_range: float):
     return 10.0 * jnp.log10(data_range ** 2 / jnp.maximum(mse, 1e-12))
 
 
+def miou(pred_labels, target_labels, num_classes: int = 17):
+    """Mean intersection-over-union over classes present in the target.
+
+    pred/target: integer label maps (any shape). The paper reports bpp vs
+    mIoU for the semantic task (BASELINE.md); the reference never computes
+    it in code — added here for full RD reporting.
+    """
+    pred = pred_labels.astype(jnp.int32).ravel()
+    tgt = target_labels.astype(jnp.int32).ravel()
+    ious = []
+    present = []
+    for c in range(num_classes):
+        p = pred == c
+        t = tgt == c
+        inter = jnp.sum(p & t)
+        union = jnp.sum(p | t)
+        ious.append(inter / jnp.maximum(union, 1))
+        present.append(jnp.any(t))
+    ious = jnp.stack(ious)
+    present = jnp.stack(present).astype(jnp.float32)
+    return jnp.sum(ious * present) / jnp.maximum(jnp.sum(present), 1.0)
+
+
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5):
     x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
     g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))

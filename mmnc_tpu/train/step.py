@@ -28,6 +28,8 @@ def _metric_logs(model, batch, x_hats, prefix):
         if task == "semantic":
             pred = jnp.argmax(pred, axis=-1)[..., None].astype(jnp.float32)
             mult, rng_ = 1.0, 17.0
+            logs[f"{prefix}/{task}/miou"] = M.miou(pred[..., 0],
+                                                   target[..., 0])
         else:
             mult, rng_ = 255.0, 255.0
         logs[f"{prefix}/{task}/psnr"] = M.psnr(pred * mult, target * mult, rng_)
