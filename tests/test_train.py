@@ -92,8 +92,9 @@ def test_data_parallel_step_matches_single_device(setup):
     sharded = shard_batch(big_batch, mesh)
     dp_state, dp_logs = step(s1, sharded, jax.random.PRNGKey(0))
 
+    # f32 reduction order differs across shards; allow a few ulps of slack
     np.testing.assert_allclose(float(dp_logs["train/loss"]),
-                               float(ref_logs["train/loss"]), rtol=1e-5)
+                               float(ref_logs["train/loss"]), rtol=1e-4)
     ref_flat = flatten_dict(ref_state.params)
     dp_flat = flatten_dict(dp_state.params)
     for k in ref_flat:
