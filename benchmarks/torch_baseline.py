@@ -9,7 +9,6 @@ This is our own code (not compressai), mirroring the architecture the
 reference builds at src/models/mixed_latent.py:120-153 + SURVEY.md X1.
 """
 
-import numpy as np
 import torch
 import torch.nn as nn
 

@@ -12,7 +12,7 @@ in [0,1] (n/2+0.5); semantic is 1-channel float class indices 0..16;
 mono is 1-channel grayscale.
 """
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

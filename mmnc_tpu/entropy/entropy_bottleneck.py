@@ -21,8 +21,6 @@ XLA fuses into the surrounding graph; data enters as NHWC and is evaluated
 channel-major as (C, 1, B*H*W) so the chain's per-channel weights broadcast.
 """
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -24,7 +24,7 @@ Gaussian likelihood broadcasts (SURVEY.md §2.4 "critical geometry quirk").
 `False` center-crops scales to y's spatial shape — the corrected layout.
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -23,16 +23,16 @@ broadcast by default, but the *real* compress/decompress path always crops
 scales to y's spatial shape so that encode:decode is bit-exact.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..entropy.gaussian_conditional import GaussianConditional, get_scale_table
+from ..entropy.gaussian_conditional import GaussianConditional
 from ..entropy.tables import CdfTable, build_eb_table, build_gc_table
 from ..entropy import rans
 from ..data.task_configs import task_parameters
@@ -553,8 +553,7 @@ MODEL_NUMBER = {
 MODEL_NAME = {cls.__name__: cls for cls in MODEL_NUMBER.values()}
 
 
-def build_model(model: int or str, tasks, latent_channels, conv_channels,
-                **kwargs):
+def build_model(model, tasks, latent_channels, conv_channels, **kwargs):
     """Construct a codec from the task registry (reference train.py:236-253)."""
     cls = MODEL_NUMBER[model] if isinstance(model, int) else MODEL_NAME[model]
     input_channels = tuple(task_parameters[t]["in_channels"] for t in tasks)

@@ -10,8 +10,6 @@ src/models/multi_task_compressor.py:15-16,92,359-384):
   2x2 average-pool (floor) downsampling between scales, cs/ssim relu'd.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

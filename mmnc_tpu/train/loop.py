@@ -18,7 +18,7 @@ from typing import Optional
 import numpy as np
 import jax
 
-from ..parallel import make_mesh, batch_sharding, shard_batch, shard_train_state
+from ..parallel import make_mesh, batch_sharding, shard_train_state
 from ..utils.checkpoint import (
     save_checkpoint, restore_checkpoint, find_last_checkpoint)
 from ..utils.logging import MetricLogger, save_image_grid

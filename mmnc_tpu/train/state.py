@@ -17,7 +17,6 @@ single fused jit step with no graph break (SURVEY.md §7 hard part (f)).
 
 from typing import Any
 
-import jax
 import optax
 from flax import struct
 from flax.traverse_util import flatten_dict, unflatten_dict

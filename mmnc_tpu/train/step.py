@@ -8,9 +8,6 @@ the "data" axis and XLA inserts the gradient psums over ICI — the TPU-native
 replacement for the reference's (never-exercised) NCCL path (SURVEY.md §2.3).
 """
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

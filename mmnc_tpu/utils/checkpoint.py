@@ -14,7 +14,7 @@ Layout: <dir>/step_<N>/state   (orbax PyTree of the TrainState fields)
 import json
 import os
 import re
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import orbax.checkpoint as ocp

@@ -10,7 +10,7 @@ prediction-vs-target per task each validation epoch.
 import json
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -1,7 +1,6 @@
 """Analysis toolkit tests (plots.ipynb / check_bpp.ipynb capabilities)."""
 
 import json
-import os
 
 import numpy as np
 import jax

@@ -1,10 +1,6 @@
 """RD-sweep CLI and profiling utility tests (CPU)."""
 
-import json
 import os
-
-import numpy as np
-import pytest
 
 
 def test_rd_sweep_cli(tmp_path):

@@ -10,7 +10,6 @@ import jax
 import jax.numpy as jnp
 import pytest
 from scipy.special import erfc
-from scipy.stats import norm
 
 from mmnc_tpu.entropy.entropy_bottleneck import (
     EntropyBottleneck, _logits_cumulative, eb_pmf)

@@ -7,7 +7,6 @@ import jax.numpy as jnp
 import pytest
 
 from mmnc_tpu.ops.gdn_pallas import gdn_pallas
-from mmnc_tpu.ops import layers
 
 
 @pytest.fixture(scope="module")

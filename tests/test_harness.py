@@ -6,7 +6,6 @@ import os
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 from flax.traverse_util import flatten_dict
 

@@ -11,10 +11,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from mmnc_tpu.models import (
-    build_model, SingleTaskCompressor, MultiTaskMixedLatentCompressor,
-    MultiTaskDisjointLatentCompressor, MultiTaskSharedLatentCompressor,
-    MODEL_NUMBER)
+from mmnc_tpu.models import build_model
 
 
 def _batch_for(model, bs=1, seed=0):

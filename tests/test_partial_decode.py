@@ -8,7 +8,6 @@ import jax.numpy as jnp
 import pytest
 
 from mmnc_tpu.models import build_model
-from mmnc_tpu.ops import metrics  # noqa: F401 (import check)
 
 
 @pytest.fixture(scope="module", params=["disjoint", "shared"])

@@ -3,7 +3,6 @@ and real-bytes vs estimated-entropy agreement (the reference's check_bpp
 notebook as a pytest; SURVEY.md §4 item 1)."""
 
 import numpy as np
-import pytest
 
 from mmnc_tpu.entropy import rans
 from mmnc_tpu.entropy.tables import (

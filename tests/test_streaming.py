@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from mmnc_tpu.models import build_model
 from mmnc_tpu.models.streaming import stream_roundtrip
