@@ -254,11 +254,19 @@ class MultiTaskCompressorBase:
         init_fn = jax.jit(partial(self.net.init, training=True))
         return init_fn({"params": p_rng, "noise": n_rng}, batch)
 
+    @partial(jax.jit, static_argnums=0)
+    def _eval_forward(self, variables, batch):
+        return self.net.apply(variables, batch, training=False)
+
     def forward(self, variables, batch, rng=None, training=False):
         """-> (x_hats, likelihoods); reference forward()
-        (multi_task_compressor.py:491-505)."""
-        rngs = {"noise": rng} if (training and rng is not None) else None
-        return self.net.apply(variables, batch, training=training, rngs=rngs)
+        (multi_task_compressor.py:491-505). Deterministic eval calls go
+        through a jitted path (an eager apply costs one dispatch round trip
+        per op on the tunneled TPU)."""
+        if not training:
+            return self._eval_forward(variables, batch)
+        rngs = {"noise": rng} if rng is not None else None
+        return self.net.apply(variables, batch, training=True, rngs=rngs)
 
     def loss_and_logs(self, variables, batch, rng=None, training=True):
         """Total loss = lmbda * weighted_rec + rate (reference __step,
