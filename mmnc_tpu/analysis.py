@@ -129,7 +129,7 @@ def channel_bpp(model, variables, batch) -> Dict[str, np.ndarray]:
     return out
 
 
-def swap_latent_slices(model, variables, tables, batch_a, batch_b,
+def swap_latent_slices(model, variables, batch_a, batch_b,
                        channels: Sequence[int]):
     """Decode batch_a with the given y channels replaced by batch_b's.
 

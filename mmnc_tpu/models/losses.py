@@ -18,12 +18,13 @@ All tensors NHWC; semantic targets are (B,H,W,1) float class indices and
 predictions are (B,H,W,17) logits.
 """
 
+import math
 from typing import Dict, Tuple
 
 import jax.numpy as jnp
 import optax
 
-_LOG2 = float(jnp.log(2.0))
+_LOG2 = math.log(2.0)
 
 
 def reconstruction_loss(x_hat, x, loss_type: str):

@@ -83,7 +83,7 @@ def test_latent_slice_separability(model_setup):
 def test_swap_latent_slices_api(model_setup):
     m, v, batch = model_setup
     batch_b = m.example_batch(batch_size=2, image_size=256, seed=7)
-    out = analysis.swap_latent_slices(m, v, None, batch, batch_b,
+    out = analysis.swap_latent_slices(m, v, batch, batch_b,
                                       channels=range(0, m.channels_per_task))
     assert set(out.keys()) == {"rgb", "mono"}
 
