@@ -85,52 +85,68 @@ def fit(
     last_val_logs = {}
     t_start = time.time()
     done = False
+    last_saved_step = -1
 
-    for epoch in range(start_epoch, epochs):
-        if done:
-            break
-        it = prefetch_to_device(train_loader.epoch(epoch), sharding=sharding)
-        for batch in it:
-            step_no = int(state.step)
-            if profile_dir and step_no == 5:
-                jax.profiler.start_trace(profile_dir)
-            state, logs = train_step(state, batch, step_rng)
-            if profile_dir and step_no == 10:
-                jax.profiler.stop_trace()
-            # pull logs only every log_every steps: device_get forces a
-            # host sync, and on a tunneled TPU that RTT dominates small
-            # models' step time — in between, steps dispatch async
-            if step_no % log_every == 0:
-                logger.log(step_no, jax.device_get(logs))
-            if max_steps is not None and int(state.step) >= max_steps:
-                done = True
-                break
-
-        if val_loader is not None:
-            acc = defaultdict(list)
-            for batch in prefetch_to_device(val_loader.epoch(0),
-                                            sharding=sharding):
-                logs = jax.device_get(eval_step(state.params, batch))
-                for k, v in logs.items():
-                    acc[k].append(float(v))
-            last_val_logs = {k: float(np.mean(v)) for k, v in acc.items()}
-            logger.log(int(state.step), last_val_logs)
-
-            if log_images:
-                batch = next(iter(val_loader.epoch(0)))
-                x_hats, _ = model.forward({"params": state.params},
-                                          jax.tree.map(jax.numpy.asarray, batch),
-                                          training=False)
-                save_image_grid(
-                    os.path.join(run_dir, f"samples_epoch{epoch}"),
-                    jax.tree.map(np.asarray, x_hats), batch)
-
-        if (epoch + 1) % checkpoint_every_epochs == 0 or epoch == epochs - 1 or done:
+    def _save():
+        nonlocal last_saved_step
+        if int(state.step) != last_saved_step:
             save_checkpoint(ckpt_dir, int(state.step), state,
                             model.hyper_parameters)
+            last_saved_step = int(state.step)
 
-    dt = time.time() - t_start
-    print(f"training done: {int(state.step)} steps in {dt:.1f}s "
-          f"({int(state.step) / max(dt, 1e-9):.2f} steps/s)")
-    logger.close()
+    try:
+        for epoch in range(start_epoch, epochs):
+            if done:
+                break
+            it = prefetch_to_device(train_loader.epoch(epoch),
+                                    sharding=sharding)
+            for batch in it:
+                step_no = int(state.step)
+                if profile_dir and step_no == 5:
+                    jax.profiler.start_trace(profile_dir)
+                state, logs = train_step(state, batch, step_rng)
+                if profile_dir and step_no == 10:
+                    jax.profiler.stop_trace()
+                # pull logs only every log_every steps: device_get forces a
+                # host sync, and on a tunneled TPU that RTT dominates small
+                # models' step time — in between, steps dispatch async
+                if step_no % log_every == 0:
+                    logger.log(step_no, jax.device_get(logs))
+                if max_steps is not None and int(state.step) >= max_steps:
+                    done = True
+                    break
+
+            if val_loader is not None:
+                acc = defaultdict(list)
+                for batch in prefetch_to_device(val_loader.epoch(0),
+                                                sharding=sharding):
+                    logs = jax.device_get(eval_step(state.params, batch))
+                    for k, v in logs.items():
+                        acc[k].append(float(v))
+                last_val_logs = {k: float(np.mean(v)) for k, v in acc.items()}
+                logger.log(int(state.step), last_val_logs)
+
+                if log_images:
+                    batch = next(iter(val_loader.epoch(0)))
+                    x_hats, _ = model.forward(
+                        {"params": state.params},
+                        jax.tree.map(jax.numpy.asarray, batch),
+                        training=False)
+                    save_image_grid(
+                        os.path.join(run_dir, f"samples_epoch{epoch}"),
+                        jax.tree.map(np.asarray, x_hats), batch)
+
+            if ((epoch + 1) % checkpoint_every_epochs == 0
+                    or epoch == epochs - 1 or done):
+                _save()
+    except (KeyboardInterrupt, SystemExit):
+        # interrupt safety: persist the latest weights before exiting
+        print("interrupted — saving checkpoint")
+        _save()
+        raise
+    finally:
+        dt = time.time() - t_start
+        print(f"training done: {int(state.step)} steps in {dt:.1f}s "
+              f"({int(state.step) / max(dt, 1e-9):.2f} steps/s)")
+        logger.close()
     return state, last_val_logs
