@@ -1,0 +1,87 @@
+"""Post-training evaluation of a shared-latent flagship checkpoint:
+check_bpp (actual vs estimated), per-channel rate attribution, and a
+partial-decode demonstration. Writes a JSON summary next to the ckpt."""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main(ckpt_path: str, out_path: str):
+    from mmnc_tpu.utils.checkpoint import (restore_checkpoint,
+                                           rebuild_model_from_checkpoint)
+    from mmnc_tpu.train.state import create_train_state
+    from mmnc_tpu.data import SyntheticMultiTaskDataset, BatchLoader
+    from mmnc_tpu import analysis
+
+    model, hp = rebuild_model_from_checkpoint(ckpt_path)
+    variables = model.init(jax.random.PRNGKey(0),
+                           model.example_batch(image_size=256))
+    state = create_train_state(variables["params"], 1)
+    payload, _ = restore_checkpoint(ckpt_path, state)
+    variables = {"params": payload["params"]}
+    tables = model.update_bottleneck_values(variables)
+
+    ds = SyntheticMultiTaskDataset(model.tasks, size=64, image_size=256,
+                                   seed=10 ** 6)
+    batch = jax.tree.map(jnp.asarray,
+                         next(iter(BatchLoader(ds, 16, shuffle=False))))
+
+    summary = {"checkpoint": ckpt_path, "step": int(payload["step"]),
+               "hyper_parameters": hp}
+
+    # 1. check_bpp
+    summary["check_bpp"] = analysis.check_bpp(model, variables, tables, batch)
+
+    # 2. per-channel rate attribution
+    ch = analysis.channel_bpp(model, variables, batch)
+    summary["channel_bpp"] = {
+        "task_slices": [list(s) for s in ch["task_slices"]],
+        "y_per_slice": {
+            name: float(ch["y"][lo:hi].sum())
+            for name, lo, hi in ch["task_slices"]},
+        "z_total": float(ch["z"].sum()),
+    }
+
+    # 3. partial decode: bytes needed per single task vs full
+    if model.variant in ("disjoint", "shared"):
+        ans, total = model.compress_partial(variables, tables, batch)
+        per_task = {}
+        z_bytes = sum(len(s) for s in ans["z_strings"])
+        shared_bytes = (sum(len(s) for s in ans["task_streams"]["shared"])
+                        if "shared" in ans["task_streams"] else 0)
+        for t in model.tasks:
+            t_bytes = sum(len(s) for s in ans["task_streams"][t])
+            per_task[t] = t_bytes + z_bytes + shared_bytes
+        summary["partial_decode_bytes"] = {
+            "total": total, "per_task_incl_shared_z": per_task}
+        sub = model.decompress_tasks(variables, tables, ans,
+                                     tasks=[model.tasks[0]])
+        full_ans, _ = model.compress(variables, tables, batch)
+        full = model.decompress(variables, tables, full_ans["strings"],
+                                full_ans["shape"], full_ans["y_shape"])
+        t0 = model.tasks[0]
+        summary["partial_matches_full"] = bool(np.allclose(
+            np.asarray(sub[t0]), np.asarray(full[t0]), atol=1e-5))
+
+    # 4. eval metrics on this batch
+    from mmnc_tpu.train import make_eval_step
+    logs = jax.device_get(make_eval_step(model)(variables["params"], batch))
+    summary["val_metrics"] = {k: float(v) for k, v in logs.items()}
+
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: v for k, v in summary.items()
+                      if k != "hyper_parameters"}, indent=2))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2
+         else "flagship_eval.json")
