@@ -60,6 +60,9 @@ def parse_args(argv):
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--no-metrics", action="store_true")
     p.add_argument("--log-every", default=10, type=int)
+    p.add_argument("--steps-per-call", default=1, type=int,
+                   help="optimizer steps fused into one device dispatch "
+                        "(lax.scan); amortizes dispatch latency")
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--legacy-broadcast", action="store_true", default=True)
     p.add_argument("--corrected-geometry", dest="legacy_broadcast",
@@ -114,6 +117,7 @@ def main(argv=None):
         n_devices=args.devices if args.devices > 1 else None,
         profile_dir=args.profile_dir, max_steps=args.max_steps,
         log_every=args.log_every,
+        steps_per_call=args.steps_per_call,
     )
     for k in sorted(val_logs):
         print(f"  {k}: {val_logs[k]:.5g}")

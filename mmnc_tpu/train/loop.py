@@ -27,6 +27,18 @@ from .state import create_train_state
 from .step import make_train_step, make_eval_step
 
 
+def _superbatches(it, k: int):
+    """Group k consecutive {task: (B,...)} batches into {task: (k,B,...)}
+    for the scanned multi-step; drops a trailing incomplete group."""
+    group = []
+    for batch in it:
+        group.append(batch)
+        if len(group) == k:
+            yield {t: jax.numpy.stack([g[t] for g in group])
+                   for t in group[0]}
+            group = []
+
+
 def fit(
     model,
     train_loader,
@@ -44,6 +56,7 @@ def fit(
     profile_dir: Optional[str] = None,
     max_steps: Optional[int] = None,
     log_every: int = 10,
+    steps_per_call: int = 1,
 ):
     """Train `model`; returns (state, last_val_logs)."""
     run_dir = os.path.join(out_dir, run_name)
@@ -78,7 +91,12 @@ def fit(
     if use_mesh:
         state = shard_train_state(state, mesh)
 
-    train_step = make_train_step(model, compute_metrics=compute_metrics)
+    if steps_per_call > 1:
+        from .step import make_multi_train_step
+        train_step = make_multi_train_step(
+            model, steps_per_call, compute_metrics=compute_metrics)
+    else:
+        train_step = make_train_step(model, compute_metrics=compute_metrics)
     eval_step = make_eval_step(model, compute_metrics=compute_metrics)
 
     step_rng = jax.random.PRNGKey(seed + 1)
@@ -100,6 +118,8 @@ def fit(
                 break
             it = prefetch_to_device(train_loader.epoch(epoch),
                                     sharding=sharding)
+            if steps_per_call > 1:
+                it = _superbatches(it, steps_per_call)
             for batch in it:
                 step_no = int(state.step)
                 if profile_dir and step_no == 5:

@@ -59,6 +59,46 @@ def make_train_step(model, compute_metrics: bool = True, donate: bool = True):
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_train_step(model, steps_per_call: int,
+                          compute_metrics: bool = False,
+                          donate: bool = True):
+    """K optimizer steps per device dispatch via lax.scan.
+
+    On a dispatch-latency-bound link (tunneled TPU) the per-call round trip
+    can rival a small model's compute; scanning K micro-batches inside one
+    jit amortizes it K-fold. Takes a super-batch {task: (K, B, H, W, C)};
+    returns (state, logs-of-last-microstep). Numerically identical to K
+    sequential train_step calls (same per-step rng folding).
+    """
+    def loss_fn(params, batch, rng):
+        variables = {"params": params}
+        main_loss, (logs, x_hats, _) = model.loss_and_logs(
+            variables, batch, rng=rng, training=True)
+        aux = model.aux_loss(variables)
+        logs["aux_loss"] = aux
+        return main_loss + aux, (logs, x_hats)
+
+    def one(state, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        (_, (logs, x_hats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, step_rng)
+        state = state.apply_gradients(grads)
+        if compute_metrics:
+            logs.update(_metric_logs(model, batch, x_hats, "train"))
+        logs = {k if "/" in k else f"train/{k}": v for k, v in logs.items()}
+        return state, logs
+
+    def multi_step(state: TrainState, super_batch, rng):
+        def body(state, micro):
+            return one(state, micro, rng)
+        state, logs_seq = jax.lax.scan(body, state, super_batch,
+                                       length=steps_per_call)
+        last = jax.tree.map(lambda x: x[-1], logs_seq)
+        return state, last
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(model, compute_metrics: bool = True):
     """Returns eval_step(params, batch) -> logs (deterministic rounding)."""
 

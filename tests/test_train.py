@@ -135,3 +135,34 @@ def test_batch_loader_shapes_and_drop_last():
     batches = list(loader)
     assert len(batches) == 2  # drop_last
     assert batches[0]["mono"].shape == (2, 32, 32, 1)
+
+
+def test_multi_step_scan_matches_sequential(setup):
+    """K scanned micro-steps in one dispatch == K sequential train steps."""
+    from mmnc_tpu.train import make_multi_train_step
+
+    model, batch, variables = setup
+    k = 3
+    rng = jax.random.PRNGKey(9)
+    micro = [jax.tree.map(lambda x, s=s: x + 0.01 * s, batch)
+             for s in range(k)]
+
+    seq_state = create_train_state(variables["params"], total_steps=20,
+                                   learning_rate_main=1e-3)
+    step = make_train_step(model, compute_metrics=False, donate=False)
+    for i in range(k):
+        seq_state, seq_logs = step(seq_state, micro[i], rng)
+
+    multi_state = create_train_state(variables["params"], total_steps=20,
+                                     learning_rate_main=1e-3)
+    multi = make_multi_train_step(model, steps_per_call=k, donate=False)
+    super_batch = {t: np.stack([m[t] for m in micro]) for t in batch}
+    multi_state, multi_logs = multi(multi_state, super_batch, rng)
+
+    assert int(multi_state.step) == int(seq_state.step) == k
+    np.testing.assert_allclose(float(multi_logs["train/loss"]),
+                               float(seq_logs["train/loss"]), rtol=1e-5)
+    for key, v in flatten_dict(seq_state.params).items():
+        np.testing.assert_allclose(
+            np.asarray(flatten_dict(multi_state.params)[key]),
+            np.asarray(v), rtol=1e-4, atol=1e-6, err_msg=str(key))
