@@ -112,6 +112,19 @@ def fit(
                             model.hyper_parameters)
             last_saved_step = int(state.step)
 
+    # SIGTERM (scheduler preemption, `timeout`) -> SystemExit so the
+    # interrupt-save below fires; restore the previous handler on exit
+    import signal
+
+    def _sigterm(*_):
+        raise SystemExit(143)
+
+    prev_handler = None
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _sigterm)
+    except ValueError:
+        pass  # not the main thread
+
     try:
         for epoch in range(start_epoch, epochs):
             if done:
@@ -165,6 +178,8 @@ def fit(
         _save()
         raise
     finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         dt = time.time() - t_start
         print(f"training done: {int(state.step)} steps in {dt:.1f}s "
               f"({int(state.step) / max(dt, 1e-9):.2f} steps/s)")
