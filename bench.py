@@ -78,6 +78,10 @@ def main():
         "unit": "MP/s",
         "vs_baseline": round(value / baseline, 3) if baseline else None,
         "baseline_mps_torch_cpu": round(baseline, 3) if baseline else None,
+        "baseline_nature": "reference-equivalent ScaleHyperprior pipeline "
+                           "(our torch code, not compressai) incl. real rANS "
+                           "coding, measured on this box's 1-vCPU torch — "
+                           "the reference publishes no MP/s figure",
         "batch_size": bs,
         "device": str(jax.devices()[0]),
     }

@@ -157,11 +157,22 @@ def average_channels(model, variables, batch, channels: Sequence[int]):
 # --- check_bpp -------------------------------------------------------------
 
 def check_bpp(model, variables, tables, batch) -> dict:
-    """Actual rANS bytes vs likelihood-estimated bpp (check_bpp.ipynb)."""
+    """Actual rANS bytes vs likelihood-estimated bpp (check_bpp.ipynb).
+
+    Reports BOTH estimates: the training-geometry one (which under the
+    reference's default legacy broadcast 16x-overcounts a saturated y
+    latent, SURVEY.md §2.4 — kept, labeled, for parity with the training
+    logs) and the corrected-geometry one, which is the like-for-like
+    comparator for the real bitstream (multi_task_compressor.py:520-532)."""
     ans, n_bytes = model.compress(variables, tables, batch)
     b, h, w, _ = np.asarray(batch[model.tasks[0]]).shape
     actual = n_bytes * 8 / (b * h * w * model.n_tasks)
     _, lik = model.forward(variables, batch, training=False)
     est, _ = model._compression_loss(lik, batch)
-    return {"actual_bpp": float(actual), "estimated_bpp": float(est),
+    twin = model.corrected_geometry_twin()
+    _, lik_c = twin.forward(variables, batch, training=False)
+    est_c, _ = twin._compression_loss(lik_c, batch)
+    return {"actual_bpp": float(actual),
+            "estimated_bpp": float(est_c),
+            "estimated_bpp_legacy": float(est),
             "bytes": int(n_bytes)}

@@ -41,6 +41,10 @@ def save_bitstream(path: str, ans: Dict, hyper_parameters: Dict,
         "shape": list(ans["shape"]),
         "y_shape": list(ans["y_shape"]),
         "partial": partial,
+        # packed containers carry one stream per batch; the item count
+        # lives here (absent in containers written before stream packing,
+        # where it equals the per-item stream count)
+        "batch_size": ans.get("batch_size"),
     }
     with open(path, "wb") as f:
         f.write(_MAGIC)
@@ -82,6 +86,8 @@ def load_bitstream(path: str):
             ans = {"strings": [y_strings, z_strings],
                    "shape": tuple(header["shape"]),
                    "y_shape": tuple(header["y_shape"])}
+        bsz = header.get("batch_size")
+        ans["batch_size"] = bsz if bsz is not None else len(z_strings)
     return ans, header
 
 
@@ -94,4 +100,4 @@ def decompress_file(path: str, model, variables, tables,
                                       tasks or list(model.tasks))
     assert tasks is None, "task-subset decode needs a partial container"
     return model.decompress(variables, tables, ans["strings"], ans["shape"],
-                            ans["y_shape"])
+                            ans["y_shape"], batch_size=ans["batch_size"])

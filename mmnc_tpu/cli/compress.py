@@ -56,13 +56,7 @@ def main(argv=None):
     tables = model.update_bottleneck_values(variables)
 
     # corrected-geometry twin: same params, scales cropped to y's support
-    from ..models import MODEL_NAME
-    model_corrected = MODEL_NAME[hp["model_class"]](
-        tasks=tuple(hp["tasks"]), input_channels=tuple(hp["input_channels"]),
-        output_channels=tuple(hp["output_channels"]),
-        latent_channels=hp["latent_channels"],
-        conv_channels=hp["conv_channels"], lmbda=hp["lmbda"],
-        legacy_broadcast=False)
+    model_corrected = model.corrected_geometry_twin()
 
     if args.dataset == "synthetic":
         ds = SyntheticMultiTaskDataset(model.tasks, size=1024,

@@ -232,6 +232,24 @@ class MultiTaskCompressorBase:
     def get_model_name(self):
         return type(self).__name__
 
+    def corrected_geometry_twin(self):
+        """Same architecture/params with `legacy_broadcast=False`: rate is
+        estimated over y's true spatial support instead of the reference's
+        16x-overcounting broadcast (SURVEY.md §2.4). The twin shares this
+        model's params pytree — only likelihood geometry differs — so it is
+        the like-for-like comparator for real bitstream bytes
+        (reference print_info, multi_task_compressor.py:520-532)."""
+        if not self.legacy_broadcast:
+            return self
+        return type(self)(
+            tasks=self.tasks, input_channels=self.input_channels,
+            output_channels=self.output_channels,
+            latent_channels=self.latent_channels,
+            conv_channels=self.conv_channels, lmbda=self.lmbda,
+            learning_rate_main=self.learning_rate_main,
+            learning_rate_aux=self.learning_rate_aux,
+            legacy_broadcast=False)
+
     def example_batch(self, batch_size=1, image_size=256, rng=None, seed=0):
         """Random batch with valid per-task ranges (host numpy — cheap)."""
         nprng = np.random.default_rng(seed)
@@ -342,26 +360,43 @@ class MultiTaskCompressorBase:
         return y_sym, z_sym.astype(jnp.int32), indexes
 
     def compress(self, variables, tables: CodecTables, batch,
-                 print_info: bool = False):
-        """-> dict(strings=[y_strings, z_strings], shape, y_shape), n_bytes
-        (reference compress(), multi_task_compressor.py:507-534)."""
+                 print_info: bool = False, packed: bool = True):
+        """-> dict(strings=[y_strings, z_strings], shape, y_shape,
+        batch_size), n_bytes (reference compress(),
+        multi_task_compressor.py:507-534).
+
+        packed=True (default) codes the whole batch's y (and z) symbols as
+        ONE rANS stream each, so the 8-byte state flush amortizes per batch
+        instead of per image — the reference's per-image strings cost ~15%
+        extra at demo-scale rates and 100%+ near zero rate (check_bpp
+        estimate-vs-real semantics, check_bpp.ipynb cells 5-7). packed=False
+        reproduces the reference's per-image string layout."""
         y_sym, z_sym, indexes = jax.device_get(
             self._compress_device(variables, batch))
         b, zh, zw, zc = z_sym.shape
-        z_idx = np.broadcast_to(
-            np.arange(zc, dtype=np.int32), z_sym.shape[1:]).ravel()
 
-        y_strings, z_strings = [], []
-        for i in range(b):
-            y_strings.append(rans.encode_with_indexes(
-                y_sym[i].ravel(), indexes[i].ravel(), tables.gc))
-            z_strings.append(rans.encode_with_indexes(
-                z_sym[i].ravel(), z_idx, tables.eb))
+        if packed:
+            z_idx = np.broadcast_to(
+                np.arange(zc, dtype=np.int32), z_sym.shape).ravel()
+            y_strings = [rans.encode_with_indexes(
+                y_sym.ravel(), indexes.ravel(), tables.gc)]
+            z_strings = [rans.encode_with_indexes(
+                z_sym.ravel(), z_idx, tables.eb)]
+        else:
+            z_idx = np.broadcast_to(
+                np.arange(zc, dtype=np.int32), z_sym.shape[1:]).ravel()
+            y_strings, z_strings = [], []
+            for i in range(b):
+                y_strings.append(rans.encode_with_indexes(
+                    y_sym[i].ravel(), indexes[i].ravel(), tables.gc))
+                z_strings.append(rans.encode_with_indexes(
+                    z_sym[i].ravel(), z_idx, tables.eb))
 
         n_bytes = sum(len(s) for s in y_strings) + sum(len(s) for s in z_strings)
         ans = {"strings": [y_strings, z_strings],
                "shape": (zh, zw),
-               "y_shape": tuple(y_sym.shape[1:3])}
+               "y_shape": tuple(y_sym.shape[1:3]),
+               "batch_size": b}
         if print_info:
             t0 = self.tasks[0]
             bb, hh, ww, _ = np.asarray(batch[t0]).shape
@@ -389,32 +424,50 @@ class MultiTaskCompressorBase:
                               method=MultiTaskCodecNet.synthesize_from_y)
 
     def decompress(self, variables, tables: CodecTables, strings,
-                   shape, y_shape=None):
+                   shape, y_shape=None, batch_size=None):
         """strings=[y_strings, z_strings] -> {task: reconstruction}
         (reference decompress(), multi_task_compressor.py:536-549 — without
-        the stock [0,1] clamp, like the reference)."""
+        the stock [0,1] clamp, like the reference).
+
+        Accepts both stream layouts: per-image strings (reference layout)
+        and the packed one-stream-per-batch layout (pass `batch_size` from
+        the compress() ans dict; with one string and batch_size > 1 the
+        stream is decoded as batch_size items)."""
         y_strings, z_strings = strings
         zh, zw = shape
         zc = self.conv_channels * self.n_tasks
         if y_shape is None:
             y_shape = (zh * 4, zw * 4)  # two stride-2 hyper convs
-        b = len(z_strings)
+        b = batch_size if batch_size is not None else len(z_strings)
+        packed = len(z_strings) == 1 and b > 1
 
-        z_idx = np.broadcast_to(
-            np.arange(zc, dtype=np.int32), (zh, zw, zc)).ravel()
-        z_sym = np.stack([
-            rans.decode_with_indexes(s, z_idx, tables.eb).reshape(zh, zw, zc)
-            for s in z_strings])
+        if packed:
+            z_idx = np.broadcast_to(
+                np.arange(zc, dtype=np.int32), (b, zh, zw, zc)).ravel()
+            z_sym = rans.decode_with_indexes(
+                z_strings[0], z_idx, tables.eb).reshape(b, zh, zw, zc)
+        else:
+            z_idx = np.broadcast_to(
+                np.arange(zc, dtype=np.int32), (zh, zw, zc)).ravel()
+            z_sym = np.stack([
+                rans.decode_with_indexes(s, z_idx, tables.eb
+                                         ).reshape(zh, zw, zc)
+                for s in z_strings])
 
         indexes = jax.device_get(self._decompress_indexes(
             variables, jnp.asarray(z_sym), tuple(y_shape)))
 
         m = self.latent_channels
-        y_sym = np.stack([
-            rans.decode_with_indexes(
-                y_strings[i], indexes[i].ravel(), tables.gc
-            ).reshape(y_shape[0], y_shape[1], m)
-            for i in range(b)])
+        if packed:
+            y_sym = rans.decode_with_indexes(
+                y_strings[0], indexes.ravel(), tables.gc
+            ).reshape(b, y_shape[0], y_shape[1], m)
+        else:
+            y_sym = np.stack([
+                rans.decode_with_indexes(
+                    y_strings[i], indexes[i].ravel(), tables.gc
+                ).reshape(y_shape[0], y_shape[1], m)
+                for i in range(b)])
         y_hat = jnp.asarray(y_sym, jnp.float32)
         return self._decompress_synthesize(variables, y_hat)
 
@@ -427,30 +480,33 @@ class MultiTaskCompressorBase:
     # slice (plus the shared block and z) is its own rANS stream.
 
     def compress_partial(self, variables, tables: CodecTables, batch):
-        """-> (ans dict with per-slice streams, total_bytes)."""
+        """-> (ans dict with per-slice streams, total_bytes).
+
+        Each slice is one packed stream covering the whole batch (flush
+        overhead amortizes per batch); slices stay separate streams so a
+        task subset remains independently decodable."""
         slices = self.variant_slices()
         assert slices is not None, "partial coding needs disjoint/shared"
         y_sym, z_sym, indexes = jax.device_get(
             self._compress_device(variables, batch))
         b, zh, zw, zc = z_sym.shape
         z_idx = np.broadcast_to(
-            np.arange(zc, dtype=np.int32), (zh, zw, zc)).ravel()
+            np.arange(zc, dtype=np.int32), z_sym.shape).ravel()
 
-        streams = {name: [] for name, _, _ in slices}
-        z_strings = []
+        streams = {}
         total = 0
-        for i in range(b):
-            for name, lo, hi in slices:
-                s = rans.encode_with_indexes(
-                    y_sym[i, ..., lo:hi].ravel(),
-                    indexes[i, ..., lo:hi].ravel(), tables.gc)
-                streams[name].append(s)
-                total += len(s)
-            zs = rans.encode_with_indexes(z_sym[i].ravel(), z_idx, tables.eb)
-            z_strings.append(zs)
-            total += len(zs)
+        for name, lo, hi in slices:
+            s = rans.encode_with_indexes(
+                np.ascontiguousarray(y_sym[..., lo:hi]).ravel(),
+                np.ascontiguousarray(indexes[..., lo:hi]).ravel(), tables.gc)
+            streams[name] = [s]
+            total += len(s)
+        zs = rans.encode_with_indexes(z_sym.ravel(), z_idx, tables.eb)
+        z_strings = [zs]
+        total += len(zs)
         ans = {"task_streams": streams, "z_strings": z_strings,
-               "shape": (zh, zw), "y_shape": tuple(y_sym.shape[1:3])}
+               "shape": (zh, zw), "y_shape": tuple(y_sym.shape[1:3]),
+               "batch_size": b}
         return ans, total
 
     @partial(jax.jit, static_argnums=(0, 3))
@@ -471,23 +527,38 @@ class MultiTaskCompressorBase:
         zh, zw = ans["shape"]
         y_shape = ans["y_shape"]
         zc = self.conv_channels * self.n_tasks
-        z_idx = np.broadcast_to(
-            np.arange(zc, dtype=np.int32), (zh, zw, zc)).ravel()
-        z_sym = np.stack([
-            rans.decode_with_indexes(s, z_idx, tables.eb).reshape(zh, zw, zc)
-            for s in ans["z_strings"]])
+        b = ans.get("batch_size", len(ans["z_strings"]))
+        z_packed = len(ans["z_strings"]) == 1 and b > 1
+
+        if z_packed:
+            z_idx = np.broadcast_to(
+                np.arange(zc, dtype=np.int32), (b, zh, zw, zc)).ravel()
+            z_sym = rans.decode_with_indexes(
+                ans["z_strings"][0], z_idx, tables.eb).reshape(b, zh, zw, zc)
+        else:
+            z_idx = np.broadcast_to(
+                np.arange(zc, dtype=np.int32), (zh, zw, zc)).ravel()
+            z_sym = np.stack([
+                rans.decode_with_indexes(s, z_idx, tables.eb
+                                         ).reshape(zh, zw, zc)
+                for s in ans["z_strings"]])
         indexes = jax.device_get(self._decompress_indexes(
             variables, jnp.asarray(z_sym), tuple(y_shape)))
 
-        b = z_sym.shape[0]
         y_hat = np.zeros((b, *y_shape, self.latent_channels), np.float32)
         for name in slice_names:
             lo, hi = slices[name]
-            for i in range(b):
-                y_hat[i, ..., lo:hi] = rans.decode_with_indexes(
-                    ans["task_streams"][name][i],
-                    indexes[i, ..., lo:hi].ravel(), tables.gc
-                ).reshape(*y_shape, hi - lo)
+            streams = ans["task_streams"][name]
+            if len(streams) == 1:  # packed slice stream covering the batch
+                y_hat[..., lo:hi] = rans.decode_with_indexes(
+                    streams[0],
+                    np.ascontiguousarray(indexes[..., lo:hi]).ravel(),
+                    tables.gc).reshape(b, *y_shape, hi - lo)
+            else:
+                for i in range(b):
+                    y_hat[i, ..., lo:hi] = rans.decode_with_indexes(
+                        streams[i], indexes[i, ..., lo:hi].ravel(), tables.gc
+                    ).reshape(*y_shape, hi - lo)
 
         y_hat = jnp.asarray(y_hat)
         out = {}

@@ -66,6 +66,20 @@ def fit(
     steps_per_epoch = len(train_loader)
     total_steps = min(epochs * steps_per_epoch, max_steps or 10 ** 12)
 
+    # a resumed run must keep the ORIGINAL cosine-decay horizon — deriving
+    # it from this invocation's --epochs would silently reshape the LR
+    # schedule mid-run (the horizon is persisted with every checkpoint)
+    last = find_last_checkpoint(ckpt_dir) if resume else None
+    if last is not None:
+        import json as _json
+        with open(os.path.join(last, "hyper_parameters.json")) as f:
+            saved_total = _json.load(f).get("total_steps")
+        if saved_total is not None and saved_total != total_steps:
+            print(f"resume: keeping the original LR-schedule horizon "
+                  f"({saved_total} steps, this invocation implies "
+                  f"{total_steps})")
+            total_steps = saved_total
+
     rng = jax.random.PRNGKey(seed)
     init_batch = jax.tree.map(np.asarray, next(iter(train_loader)))
     variables = model.init(rng, jax.tree.map(jax.numpy.asarray, init_batch))
@@ -75,15 +89,13 @@ def fit(
         learning_rate_aux=model.learning_rate_aux)
 
     start_epoch = 0
-    if resume:
-        last = find_last_checkpoint(ckpt_dir)
-        if last is not None:
-            payload, _ = restore_checkpoint(last, state)
-            state = state.replace(step=payload["step"],
-                                  params=payload["params"],
-                                  opt_state=payload["opt_state"])
-            start_epoch = int(payload["step"]) // steps_per_epoch
-            print(f"resumed from {last} (step {payload['step']})")
+    if last is not None:
+        payload, _ = restore_checkpoint(last, state)
+        state = state.replace(step=payload["step"],
+                              params=payload["params"],
+                              opt_state=payload["opt_state"])
+        start_epoch = int(payload["step"]) // steps_per_epoch
+        print(f"resumed from {last} (step {payload['step']})")
 
     use_mesh = n_devices is not None and n_devices > 1
     mesh = make_mesh(n_devices) if use_mesh else None
@@ -109,7 +121,8 @@ def fit(
         nonlocal last_saved_step
         if int(state.step) != last_saved_step:
             save_checkpoint(ckpt_dir, int(state.step), state,
-                            model.hyper_parameters)
+                            {**model.hyper_parameters,
+                             "total_steps": int(total_steps)})
             last_saved_step = int(state.step)
 
     # SIGTERM (scheduler preemption, `timeout`) -> SystemExit so the

@@ -100,3 +100,8 @@ def test_check_bpp(model_setup):
     res = analysis.check_bpp(m, v, tables, batch)
     assert res["bytes"] > 0
     assert res["actual_bpp"] > 0 and res["estimated_bpp"] > 0
+    # at 256px the head+g_a saturate y to 1x1 while scales broadcast 4x4,
+    # so the legacy (training-geometry) estimate counts each y value 16x:
+    # it must exceed the corrected-geometry estimate, which is the
+    # like-for-like comparator for the real bitstream
+    assert res["estimated_bpp_legacy"] > res["estimated_bpp"]

@@ -30,7 +30,7 @@ def test_full_container_roundtrip(setup, tmp_path):
 
     out = bitstream.decompress_file(path, m, v, tables)
     ref = m.decompress(v, tables, ans["strings"], ans["shape"],
-                       ans["y_shape"])
+                       ans["y_shape"], batch_size=ans["batch_size"])
     for t in m.tasks:
         np.testing.assert_allclose(np.asarray(out[t]), np.asarray(ref[t]),
                                    atol=1e-5)
@@ -47,7 +47,7 @@ def test_partial_container_subset_decode(setup, tmp_path):
 
     full_ans, _ = m.compress(v, tables, batch)
     full = m.decompress(v, tables, full_ans["strings"], full_ans["shape"],
-                        full_ans["y_shape"])
+                        full_ans["y_shape"], batch_size=full_ans["batch_size"])
     np.testing.assert_allclose(np.asarray(out["mono"]),
                                np.asarray(full["mono"]), atol=1e-5)
 

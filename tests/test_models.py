@@ -70,21 +70,32 @@ def test_single_task_has_no_log_vars():
 
 def test_compress_decompress_matches_eval_forward():
     """Real rANS coding round trip == deterministic eval forward — the
-    framework-level check_bpp guarantee."""
+    framework-level check_bpp guarantee. Covers both stream layouts:
+    packed (default: one stream per batch) and per-image (reference's)."""
     m = build_model(2, ["rgb"], latent_channels=8, conv_channels=4)
     batch = _batch_for(m, bs=2)
     v = m.init(jax.random.PRNGKey(0), batch)
     tables = m.update_bottleneck_values(v)
+    ref_hats, _ = m.forward(v, batch, training=False)
 
     ans, n_bytes = m.compress(v, tables, batch)
     assert n_bytes > 0
-    assert len(ans["strings"][0]) == 2 and len(ans["strings"][1]) == 2
-
+    assert len(ans["strings"][0]) == 1 and ans["batch_size"] == 2
     x_hats = m.decompress(v, tables, ans["strings"], ans["shape"],
-                          ans["y_shape"])
-    ref_hats, _ = m.forward(v, batch, training=False)
+                          ans["y_shape"], batch_size=ans["batch_size"])
     for t in m.tasks:
         np.testing.assert_allclose(np.asarray(x_hats[t]),
+                                   np.asarray(ref_hats[t]), atol=1e-5)
+
+    ans_pi, n_bytes_pi = m.compress(v, tables, batch, packed=False)
+    assert len(ans_pi["strings"][0]) == 2 and len(ans_pi["strings"][1]) == 2
+    # per-image strings flush the 8-byte rANS state once per image per
+    # stream; the packed layout pays it once per batch
+    assert n_bytes <= n_bytes_pi
+    x_hats_pi = m.decompress(v, tables, ans_pi["strings"], ans_pi["shape"],
+                             ans_pi["y_shape"])
+    for t in m.tasks:
+        np.testing.assert_allclose(np.asarray(x_hats_pi[t]),
                                    np.asarray(ref_hats[t]), atol=1e-5)
 
 

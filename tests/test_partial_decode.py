@@ -34,7 +34,7 @@ def test_partial_equals_full_decode(setup):
 
     full_ans, _ = m.compress(v, tables, batch)
     full = m.decompress(v, tables, full_ans["strings"], full_ans["shape"],
-                        full_ans["y_shape"])
+                        full_ans["y_shape"], batch_size=full_ans["batch_size"])
     np.testing.assert_allclose(np.asarray(partial["mono"]),
                                np.asarray(full["mono"]), atol=1e-5)
 

@@ -21,7 +21,7 @@ def test_stream_matches_sequential():
     for batch, (x_hats, n_bytes) in zip(batches, streamed):
         ans, n_ref = m.compress(v, tables, batch)
         ref = m.decompress(v, tables, ans["strings"], ans["shape"],
-                           ans["y_shape"])
+                           ans["y_shape"], batch_size=ans["batch_size"])
         assert n_bytes == n_ref
         for t in m.tasks:
             np.testing.assert_allclose(np.asarray(x_hats[t]),
