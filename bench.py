@@ -23,7 +23,33 @@ import jax
 import jax.numpy as jnp
 
 
-def measure_tpu_mps(batch_size=512, image_size=256, iters=5,
+V5E_PEAK_FLOPS = 197e12  # bf16 peak of one TPU v5e chip
+
+
+def _roundtrip_flops(model, variables, batch):
+    """Analytic FLOPs of the three device programs per batch, from XLA's
+    own cost model (jit(...).lower().compile().cost_analysis())."""
+    def flops(lowered):
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+
+    y_sym, z_sym, _ = jax.eval_shape(
+        lambda v, b: model._compress_device(v, b), variables, batch)
+    y_shape = tuple(y_sym.shape[1:3])
+    z = jnp.zeros(z_sym.shape, jnp.int32)
+    y_hat = jnp.zeros(
+        (z_sym.shape[0], *y_shape, model.latent_channels), jnp.float32)
+    cls = type(model)
+    total = (
+        flops(cls._compress_device.lower(model, variables, batch))
+        + flops(cls._decompress_indexes.lower(model, variables, z, y_shape))
+        + flops(cls._decompress_synthesize.lower(model, variables, y_hat)))
+    return total
+
+
+def measure_tpu_mps(batch_size=1024, image_size=256, iters=8,
                     conv_channels=100, latent=128):
     """Steady-state compress+decompress throughput. Large batches amortize
     the per-call dispatch/transfer overhead of the tunneled TPU; falls back
@@ -36,7 +62,8 @@ def measure_tpu_mps(batch_size=512, image_size=256, iters=5,
 
     from mmnc_tpu.models.streaming import stream_roundtrip
 
-    for bs in (batch_size, batch_size // 4, batch_size // 16):
+    for bs in (batch_size, batch_size // 2, batch_size // 4,
+               batch_size // 16):
         try:
             batch = {"rgb": jnp.asarray(
                 rng.random((bs, image_size, image_size, 3), np.float32))}
@@ -45,7 +72,7 @@ def measure_tpu_mps(batch_size=512, image_size=256, iters=5,
 
             # warmup (compiles the device paths, builds the native coder)
             for x_hats, _ in stream_roundtrip(model, variables, tables,
-                                              [batch]):
+                                              [batch] * 2):
                 jax.block_until_ready(x_hats)
 
             t0 = time.perf_counter()
@@ -53,7 +80,10 @@ def measure_tpu_mps(batch_size=512, image_size=256, iters=5,
                                             [batch] * iters))
             jax.block_until_ready(results[-1][0])
             dt = (time.perf_counter() - t0) / iters
-            return bs * image_size * image_size / 1e6 / dt, bs
+
+            flops = _roundtrip_flops(model, variables, batch)
+            util = flops / dt / V5E_PEAK_FLOPS
+            return bs * image_size * image_size / 1e6 / dt, bs, util
         except Exception as e:  # noqa: BLE001 — retry smaller on OOM
             if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e):
                 raise
@@ -62,7 +92,7 @@ def measure_tpu_mps(batch_size=512, image_size=256, iters=5,
 
 
 def main():
-    value, bs = measure_tpu_mps()
+    value, bs, util = measure_tpu_mps()
 
     try:
         from benchmarks.torch_baseline import measure_torch_mps
@@ -83,6 +113,7 @@ def main():
                            "coding, measured on this box's 1-vCPU torch — "
                            "the reference publishes no MP/s figure",
         "batch_size": bs,
+        "mxu_utilization_pct": round(100 * util, 2),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -106,6 +106,60 @@ def classical_codec_rd(image: np.ndarray, target_bpp: float,
     return decoded, bpp, q
 
 
+# --- learned-codec baseline --------------------------------------------------
+
+def learned_baseline_rd(checkpoint_paths: Sequence[str], batch=None,
+                        batch_size: int = 16, image_size: int = 256,
+                        seed: int = 21) -> List[dict]:
+    """RD points of trained checkpoints, for overlay on RD plots.
+
+    The reference compares its multi-task codecs against a pretrained
+    single-task RGB ScaleHyperprior (plots.ipynb cell 5's
+    bmshj2018_hyperprior). No pretrained zoo exists here, so the stand-in
+    baseline is any trained single-task checkpoint (e.g. the rd_paper sweep's
+    single-rgb runs). Each point carries the ACTUAL packed-bitstream bpp and
+    per-task PSNR/MS-SSIM on a held-out batch.
+    """
+    from .utils.checkpoint import (rebuild_model_from_checkpoint,
+                                   restore_checkpoint)
+    from .train.state import create_train_state
+    from .ops import metrics as M
+
+    points = []
+    for path in checkpoint_paths:
+        model, hp = rebuild_model_from_checkpoint(path)
+        variables = model.init(jax.random.PRNGKey(0),
+                               model.example_batch(image_size=image_size))
+        state = create_train_state(variables["params"], 1)
+        payload, _ = restore_checkpoint(path, state)
+        variables = {"params": payload["params"]}
+        tables = model.update_bottleneck_values(variables)
+
+        if batch is None:
+            from .data import SyntheticMultiTaskDataset, BatchLoader
+            ds = SyntheticMultiTaskDataset(model.tasks, size=batch_size,
+                                           image_size=image_size,
+                                           seed=10 ** 6)
+            eval_batch = next(iter(BatchLoader(ds, batch_size,
+                                               shuffle=False)))
+            eval_batch = jax.tree.map(jnp.asarray, eval_batch)
+        else:
+            eval_batch = {t: jnp.asarray(batch[t]) for t in model.tasks}
+
+        point = check_bpp(model, variables, tables, eval_batch)
+        point["bpp"] = point["actual_bpp"]
+        point["checkpoint"] = path
+        point["lmbda"] = hp.get("lmbda")
+        x_hats, _ = model.forward(variables, eval_batch, training=False)
+        for t in model.tasks:
+            point[f"{t}/psnr"] = float(M.psnr(
+                x_hats[t] * 255.0, eval_batch[t] * 255.0, 255.0))
+            point[f"{t}/ms-ssim"] = float(M.ms_ssim(
+                x_hats[t] * 255.0, eval_batch[t] * 255.0, 255.0))
+        points.append(point)
+    return points
+
+
 # --- latent attribution & probing -----------------------------------------
 
 def channel_bpp(model, variables, batch) -> Dict[str, np.ndarray]:

@@ -64,6 +64,17 @@ def parse_args(argv):
                    help="optimizer steps fused into one device dispatch "
                         "(lax.scan); amortizes dispatch latency")
     p.add_argument("--profile-dir", default=None)
+    p.add_argument("-n", "--num-workers", default=4, type=int,
+                   help="thread workers for sample fetch (reference "
+                        "DataLoader num_workers analog); ignored for "
+                        "prerendered data, which is vectorized")
+    p.add_argument("--prerender", action="store_true", default=True,
+                   help="materialize the dataset once to cached .npy and "
+                        "serve batches as array slices (default)")
+    p.add_argument("--no-prerender", dest="prerender", action="store_false")
+    p.add_argument("--data-cache-dir",
+                   default=os.environ.get("MMNC_DATA_CACHE",
+                                          "data/prerendered"))
     p.add_argument("--legacy-broadcast", action="store_true", default=True)
     p.add_argument("--corrected-geometry", dest="legacy_broadcast",
                    action="store_false")
@@ -87,8 +98,16 @@ def get_loaders(args):
         root = DATASET_ROOTS["clevr"]
         train = CLEVRDataset(root, args.tasks, "train", args.image_size)
         val = CLEVRDataset(root, args.tasks, "val", args.image_size)
-    return (BatchLoader(train, args.batch_size, shuffle=True),
-            BatchLoader(val, args.batch_size, shuffle=False))
+    if getattr(args, "prerender", False):
+        from ..data.prerender import prerender
+        cache = getattr(args, "data_cache_dir", None)
+        train = prerender(train, cache)
+        val = prerender(val, cache)
+    workers = getattr(args, "num_workers", 0)
+    return (BatchLoader(train, args.batch_size, shuffle=True,
+                        num_workers=workers),
+            BatchLoader(val, args.batch_size, shuffle=False,
+                        num_workers=workers))
 
 
 def main(argv=None):

@@ -66,16 +66,35 @@ class CLEVRDataset:
             # 3-channel label image; G = color + 10 * material
             g = arr[..., 1] if arr.ndim == 3 else arr
             return self._sem_remap(g.astype(np.int64).clip(0, 255))[..., None]
+
         if task == "depth_euclidean":
+            # 16-bit family (reference transform_16bit_single_channel)
             x = arr.astype(np.float32) / (2 ** 15 - 1.0)
-            _, maxx = task_parameters[task]["clamp_to"]
+            x = x[..., None] if x.ndim == 2 else x[..., :1]
+        else:
+            # 8-bit tasks
+            x = arr.astype(np.float32) / 255.0
+            if x.ndim == 2:
+                x = x[..., None]
+            if task == "principal_curvature":
+                # first 2 channels (reference clevr.py:60-61 +
+                # transform_8bit_n_channel(2))
+                x = x[..., :2]
+            elif task == "reshading":
+                # channel 0 only (reference clevr.py:76-77 `x[[0]]`)
+                x = x[..., :1]
+            else:
+                x = x[..., :3]
+
+        # generic clamp-rescale: any task whose registry entry carries
+        # clamp_to (0, maxx) is divided by maxx (reference
+        # transforms.py MAKE_RESCALE_0_MAX_0_POS1)
+        clamp = task_parameters.get(task, {}).get("clamp_to")
+        if clamp is not None:
+            minn, maxx = clamp
+            assert minn == 0, "only (0, max) rescale supported (reference)"
             x = x / maxx
-            return x[..., None] if x.ndim == 2 else x[..., :1]
-        # 8-bit tasks
-        x = arr.astype(np.float32) / 255.0
-        if x.ndim == 2:
-            x = x[..., None]
-        return x[..., :3]
+        return x
 
     def __getitem__(self, index: int):
         return {t: self._load(t, index) for t in self.tasks}

@@ -19,15 +19,25 @@ class BatchLoader:
     """Iterates {task: (B, H, W, C) np.float32} batches.
 
     drop_last is always on (static shapes keep XLA from recompiling).
+
+    Fast paths, in order of preference:
+    * datasets exposing `get_batch(indices)` (e.g. PrerenderedDataset) are
+      fetched with one vectorized call per batch — no per-sample Python;
+    * `num_workers > 0` fetches samples on a thread pool (the reference's
+      DataLoader num_workers analog, src/train.py:193-198 — useful for
+      IO-bound datasets like CLEVR-on-disk; numpy/PIL release the GIL).
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 21, num_epochs: Optional[int] = 1):
+                 seed: int = 21, num_epochs: Optional[int] = 1,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.num_epochs = num_epochs
+        self.num_workers = num_workers
+        self._pool = None
 
     def __len__(self):
         return len(self.dataset) // self.batch_size
@@ -38,14 +48,26 @@ class BatchLoader:
             np.random.default_rng(self.seed + epoch).shuffle(order)
         return order
 
+    def _fetch(self, idx):
+        if hasattr(self.dataset, "get_batch"):
+            return self.dataset.get_batch(idx)
+        if self.num_workers > 0:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(self.num_workers)
+            samples = list(self._pool.map(
+                lambda i: self.dataset[int(i)], idx))
+        else:
+            samples = [self.dataset[int(i)] for i in idx]
+        return {t: np.stack([s[t] for s in samples])
+                for t in samples[0].keys()}
+
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
         order = self._epoch_order(epoch)
         n_batches = len(self)
         for b in range(n_batches):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-            samples = [self.dataset[int(i)] for i in idx]
-            yield {t: np.stack([s[t] for s in samples])
-                   for t in samples[0].keys()}
+            yield self._fetch(idx)
 
     def __iter__(self):
         epoch = 0

@@ -1,0 +1,96 @@
+"""Render-once input pipeline: materialize any task-dict dataset into
+per-task contiguous arrays with vectorized batch fetch.
+
+TPU-native replacement for the reference's multi-worker DataLoader
+(src/train.py:107-113,193-198, SURVEY.md C14): the reference hides its
+~100ms-per-sample PIL decode behind 4 worker processes; on this box (1 vCPU)
+worker pools cannot beat the renderer being CPU-bound, so the pipeline
+renders every sample exactly ONCE (cached to .npy on disk, keyed by the
+dataset's identity) and then serves batches as fancy-indexed slices of
+in-RAM arrays — the loader is strictly faster than any training step, which
+is what DataLoader workers exist to achieve.
+"""
+
+import hashlib
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class PrerenderedDataset:
+    """Task-dict dataset backed by per-task (N,H,W,C) arrays in RAM."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray]):
+        sizes = {t: len(a) for t, a in arrays.items()}
+        assert len(set(sizes.values())) == 1, f"ragged task arrays: {sizes}"
+        self.tasks = list(arrays)
+        self.arrays = arrays
+        self.size = next(iter(sizes.values()))
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, index: int):
+        return {t: a[index] for t, a in self.arrays.items()}
+
+    def get_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Vectorized batch fetch — one fancy-index per task, no per-sample
+        Python loop (BatchLoader uses this when available)."""
+        idx = np.asarray(indices)
+        return {t: a[idx] for t, a in self.arrays.items()}
+
+
+def _dataset_cache_key(dataset) -> str:
+    ident = {
+        "class": type(dataset).__name__,
+        "tasks": list(getattr(dataset, "tasks", [])),
+        "size": len(dataset),
+        "image_size": getattr(dataset, "image_size", None),
+        "seed": getattr(dataset, "seed", None),
+        "split": getattr(dataset, "split", None),
+    }
+    blob = json.dumps(ident, sort_keys=True).encode()
+    return hashlib.sha1(blob).hexdigest()[:16]
+
+
+def prerender(dataset, cache_dir: Optional[str] = None,
+              progress_every: int = 500) -> PrerenderedDataset:
+    """Materialize `dataset` (cached under cache_dir keyed by its identity).
+
+    Passing a PrerenderedDataset returns it unchanged. With cache_dir=None
+    the arrays are built in RAM only.
+    """
+    if isinstance(dataset, PrerenderedDataset):
+        return dataset
+
+    tasks = list(dataset[0].keys())
+    key = _dataset_cache_key(dataset)
+    paths = None
+    if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        paths = {t: os.path.join(cache_dir, f"{key}_{t}.npy") for t in tasks}
+        if all(os.path.exists(p) for p in paths.values()):
+            return PrerenderedDataset(
+                {t: np.load(p) for t, p in paths.items()})
+
+    n = len(dataset)
+    first = dataset[0]
+    arrays = {t: np.empty((n, *first[t].shape), first[t].dtype)
+              for t in tasks}
+    for t in tasks:
+        arrays[t][0] = first[t]
+    for i in range(1, n):
+        sample = dataset[i]
+        for t in tasks:
+            arrays[t][i] = sample[t]
+        if progress_every and i % progress_every == 0:
+            print(f"prerender: {i}/{n}")
+
+    if paths is not None:
+        for t, p in paths.items():
+            tmp = p + ".tmp.npy"  # np.save keeps names ending in .npy as-is
+            np.save(tmp, arrays[t])
+            os.replace(tmp, p)
+    return PrerenderedDataset(arrays)

@@ -78,7 +78,9 @@ def _ssim_components(x, y, data_range, win1d, k1=0.01, k2=0.03):
     sigma_xy = _filter2d_depthwise(x * y, win1d) - mu_xy
     cs = (2 * sigma_xy + c2) / (sigma_xx + sigma_yy + c2)
     ssim = ((2 * mu_xy + c1) / (mu_xx + mu_yy + c1)) * cs
-    return jnp.mean(ssim, axis=(1, 2, 3)), jnp.mean(cs, axis=(1, 2, 3))
+    # per-channel means (B, C): pytorch_msssim keeps channels separate
+    # through the multi-scale product and averages only at the very end
+    return jnp.mean(ssim, axis=(1, 2)), jnp.mean(cs, axis=(1, 2))
 
 
 def ssim(pred, target, data_range: float, win_size: int = 11,
@@ -89,13 +91,24 @@ def ssim(pred, target, data_range: float, win_size: int = 11,
 
 
 def _avg_pool2(x):
+    """2x2/2 average pool with torch avg_pool2d(kernel_size=2, padding=s%2)
+    semantics — the exact downsampler pytorch_msssim uses between scales:
+    odd dims are zero-padded on BOTH sides (symmetric), zeros counted."""
+    _, h, w, _ = x.shape
+    ph, pw = h % 2, w % 2
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
     return jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
 
 
 def ms_ssim(pred, target, data_range: float, win_size: int = 11,
             win_sigma: float = 1.5, weights=MS_SSIM_WEIGHTS):
-    """Multi-scale SSIM averaged over the batch; pred/target NHWC."""
+    """Multi-scale SSIM averaged over batch and channels; pred/target NHWC.
+
+    Exact pytorch_msssim.ms_ssim semantics: per-channel ssim/cs means at
+    each scale, relu, weighted product across scales per channel, then one
+    mean over (batch, channel)."""
     win = _gaussian_kernel(win_size, win_sigma)
     levels = len(weights)
     weights = jnp.asarray(weights, jnp.float32)
@@ -108,6 +121,6 @@ def ms_ssim(pred, target, data_range: float, win_size: int = 11,
             x = _avg_pool2(x)
             y = _avg_pool2(y)
     s = jax.nn.relu(s)
-    stack = jnp.stack(mcs + [s])  # (levels, B)
-    val = jnp.prod(stack ** weights[:, None], axis=0)
+    stack = jnp.stack(mcs + [s])  # (levels, B, C)
+    val = jnp.prod(stack ** weights[:, None, None], axis=0)
     return jnp.mean(val)

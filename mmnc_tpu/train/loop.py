@@ -50,6 +50,7 @@ def fit(
     resume: bool = False,
     checkpoint_every_epochs: int = 100,
     compute_metrics: bool = True,
+    train_metrics: Optional[bool] = None,
     log_images: bool = True,
     use_wandb: bool = False,
     n_devices: Optional[int] = None,
@@ -103,12 +104,15 @@ def fit(
     if use_mesh:
         state = shard_train_state(state, mesh)
 
+    # metrics are cheap to skip in the scanned train step (PSNR/MS-SSIM per
+    # microstep rival the model's own FLOPs) while the val epoch keeps them
+    tm = compute_metrics if train_metrics is None else train_metrics
     if steps_per_call > 1:
         from .step import make_multi_train_step
         train_step = make_multi_train_step(
-            model, steps_per_call, compute_metrics=compute_metrics)
+            model, steps_per_call, compute_metrics=tm)
     else:
-        train_step = make_train_step(model, compute_metrics=compute_metrics)
+        train_step = make_train_step(model, compute_metrics=tm)
     eval_step = make_eval_step(model, compute_metrics=compute_metrics)
 
     step_rng = jax.random.PRNGKey(seed + 1)

@@ -66,7 +66,8 @@ def main(ckpt_path: str, out_path: str):
                                      tasks=[model.tasks[0]])
         full_ans, _ = model.compress(variables, tables, batch)
         full = model.decompress(variables, tables, full_ans["strings"],
-                                full_ans["shape"], full_ans["y_shape"])
+                                full_ans["shape"], full_ans["y_shape"],
+                                batch_size=full_ans["batch_size"])
         t0 = model.tasks[0]
         summary["partial_matches_full"] = bool(np.allclose(
             np.asarray(sub[t0]), np.asarray(full[t0]), atol=1e-5))

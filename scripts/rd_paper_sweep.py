@@ -1,0 +1,157 @@
+"""Paper-regime RD sweep: all four variants at the reference configs.
+
+Reproduces the workflow behind the paper's Figs. 4-9 (BASELINE.md table;
+reference src/plots.ipynb cells 17-42): for each variant x lambda, train at
+the paper's architecture config (M=300 multi-task / disjoint 3x100 / shared
+4x75; C=32 mixed, 42 disjoint+shared, 48 singles; batch 64; lambda in
+{0.1, 0.01, 0.001}) on the 3-task set (rgb, depth_euclidean, normal) and
+record an RD point: the training-geometry estimated bpp (what the paper's
+W&B-exported curves plot), the corrected-geometry estimate, the ACTUAL
+packed-bitstream bpp, and per-task PSNR / MS-SSIM / MSE*255^2.
+
+Resumable: runs already present in the output JSON are skipped, so the
+driver can be re-launched after an interruption.
+
+    python scripts/rd_paper_sweep.py [--steps 2500] [--train-size 4096]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmnc_tpu import analysis
+from mmnc_tpu.data import (SyntheticMultiTaskDataset, BatchLoader,
+                           PrerenderedDataset, prerender)
+from mmnc_tpu.models import build_model
+from mmnc_tpu.train.loop import fit
+
+TASKS = ["rgb", "depth_euclidean", "normal"]
+LMBDAS = [0.1, 0.01, 0.001]
+
+# (run-kind, model number, tasks, M, C) — paper §IV-B configs
+CONFIGS = (
+    [("mixed", 2, TASKS, 300, 32),
+     ("shared", 4, TASKS, 300, 42),
+     ("disjoint", 3, TASKS, 300, 42)]
+    + [(f"single-{t}", 1, [t], 100, 48) for t in TASKS]
+)
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=2500)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--train-size", type=int, default=4096)
+    p.add_argument("--val-size", type=int, default=256)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--steps-per-call", type=int, default=8)
+    p.add_argument("--out", default="artifacts/rd_paper.json")
+    p.add_argument("--run-dir", default="runs/rd_paper")
+    p.add_argument("--only", default=None,
+                   help="comma-separated run-kind filter (e.g. 'mixed,shared')")
+    return p.parse_args(argv)
+
+
+def task_loaders(full_train, full_val, tasks, batch_size):
+    tr = PrerenderedDataset({t: full_train.arrays[t] for t in tasks})
+    va = PrerenderedDataset({t: full_val.arrays[t] for t in tasks})
+    return (BatchLoader(tr, batch_size, shuffle=True),
+            BatchLoader(va, batch_size, shuffle=False))
+
+
+def rd_eval(model, state, val_loader):
+    """Final RD point: real packed-bitstream bpp + both estimates + per-task
+    metrics on one val batch (check_bpp semantics)."""
+    variables = {"params": jax.device_get(state.params)}
+    batch = jax.tree.map(jnp.asarray, next(iter(val_loader.epoch(0))))
+    tables = model.update_bottleneck_values(variables)
+    bpp = analysis.check_bpp(model, variables, tables, batch)
+
+    x_hats, _ = model.forward(variables, batch, training=False)
+    point = dict(bpp)
+    for t in model.tasks:
+        mse255 = float(jnp.mean(
+            (x_hats[t] - batch[t]) ** 2)) * 255.0 ** 2
+        point[f"{t}/mse255"] = mse255
+        point[f"{t}/psnr"] = 10 * np.log10(255.0 ** 2 / max(mse255, 1e-12))
+    return point
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+
+    done = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            done = {p["run"]: p for p in json.load(f)}
+
+    print("prerendering dataset ...")
+    full_train = prerender(SyntheticMultiTaskDataset(
+        TASKS, size=args.train_size, image_size=args.image_size, seed=0),
+        "data/prerendered")
+    full_val = prerender(SyntheticMultiTaskDataset(
+        TASKS, size=args.val_size, image_size=args.image_size, seed=10 ** 6),
+        "data/prerendered")
+
+    only = set(args.only.split(",")) if args.only else None
+    points = list(done.values())
+    for kind, model_num, tasks, m_lat, conv in CONFIGS:
+        if only and kind not in only:
+            continue
+        for lmbda in LMBDAS:
+            run = f"{kind}-l{lmbda:g}"
+            if run in done:
+                print(f"skip {run} (already in {args.out})")
+                continue
+            t0 = time.time()
+            model = build_model(model_num, tasks, latent_channels=m_lat,
+                                conv_channels=conv, lmbda=lmbda,
+                                learning_rate_main=args.lr,
+                                learning_rate_aux=1e-3)
+            train_loader, val_loader = task_loaders(
+                full_train, full_val, tasks, args.batch_size)
+            epochs = (args.steps * args.batch_size
+                      // (len(train_loader) * args.batch_size)) + 1
+            print(f"=== {run}: {model.get_model_name()} M={model.latent_channels} "
+                  f"C={conv} lmbda={lmbda}")
+            state, val_logs = fit(
+                model, train_loader, val_loader,
+                epochs=epochs, run_name=run, out_dir=args.run_dir,
+                resume=True, compute_metrics=True, train_metrics=False,
+                log_images=False, max_steps=args.steps,
+                steps_per_call=args.steps_per_call, log_every=50)
+
+            point = {"run": run, "kind": kind, "model": model_num,
+                     "lmbda": lmbda, "tasks": list(tasks),
+                     "steps": int(state.step),
+                     "estimated_bpp_train_geometry": None,
+                     "wallclock_s": round(time.time() - t0, 1)}
+            point.update({k.replace("val/", ""): v
+                          for k, v in val_logs.items()})
+            point["estimated_bpp_train_geometry"] = val_logs.get(
+                "val/compression_loss")
+            point.update(rd_eval(model, state, val_loader))
+            points.append(point)
+            done[run] = point
+            with open(args.out, "w") as f:
+                json.dump(points, f, indent=2)
+            print(f"  -> {json.dumps({k: v for k, v in point.items() if 'loss' not in k}, default=float)[:400]}")
+
+    print(f"wrote {args.out} with {len(points)} points")
+
+
+if __name__ == "__main__":
+    main()

@@ -73,3 +73,39 @@ def test_clevr_split_sizes(clevr_root):
     assert len(CLEVRDataset(clevr_root, ["rgb"], "train")) == 50000
     assert len(CLEVRDataset(clevr_root, ["rgb"], "val")) == 5000
     assert len(CLEVRDataset(clevr_root, ["rgb"], "test")) == 5000
+
+
+@pytest.fixture(scope="module")
+def clevr_extra_root(tmp_path_factory):
+    """Fixture for the loader-surface-only tasks (principal_curvature,
+    reshading — reference src/datasets/clevr.py:60-79)."""
+    root = tmp_path_factory.mktemp("clevr_extra")
+    rng = np.random.default_rng(1)
+    for task in ("principal_curvature", "reshading"):
+        d = root / task / "val"
+        d.mkdir(parents=True, exist_ok=True)
+        arr = rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(
+            d / f"point_0_view_0_domain_{task}.png")
+    return str(root), rng
+
+
+def test_principal_curvature_first_two_channels(clevr_extra_root):
+    root, _ = clevr_extra_root
+    ds = CLEVRDataset(root, ["principal_curvature"], "val", 256)
+    x = ds[0]["principal_curvature"]
+    assert x.shape == (256, 256, 2) and x.dtype == np.float32
+    raw = np.asarray(Image.open(os.path.join(
+        root, "principal_curvature", "val",
+        "point_0_view_0_domain_principal_curvature.png")))
+    np.testing.assert_allclose(x, raw[..., :2].astype(np.float32) / 255.0)
+
+
+def test_reshading_single_channel(clevr_extra_root):
+    root, _ = clevr_extra_root
+    ds = CLEVRDataset(root, ["reshading"], "val", 256)
+    x = ds[0]["reshading"]
+    assert x.shape == (256, 256, 1) and x.dtype == np.float32
+    raw = np.asarray(Image.open(os.path.join(
+        root, "reshading", "val", "point_0_view_0_domain_reshading.png")))
+    np.testing.assert_allclose(x, raw[..., :1].astype(np.float32) / 255.0)

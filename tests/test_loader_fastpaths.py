@@ -1,0 +1,64 @@
+"""Input-pipeline fast paths: prerender cache + vectorized batch fetch +
+thread-worker sample loading (reference DataLoader num_workers analog,
+src/train.py:193-198)."""
+
+import time
+
+import numpy as np
+
+from mmnc_tpu.data import (BatchLoader, PrerenderedDataset,
+                           SyntheticMultiTaskDataset, prerender)
+
+
+def test_prerender_matches_live_rendering(tmp_path):
+    ds = SyntheticMultiTaskDataset(["rgb", "depth_euclidean"], size=6,
+                                   image_size=32)
+    pre = prerender(ds, str(tmp_path))
+    assert len(pre) == 6
+    for i in (0, 3, 5):
+        live = ds[i]
+        for t in live:
+            np.testing.assert_array_equal(pre[i][t], live[t])
+    # second call hits the .npy cache
+    pre2 = prerender(ds, str(tmp_path))
+    np.testing.assert_array_equal(pre2.arrays["rgb"], pre.arrays["rgb"])
+
+
+def test_prerender_cache_key_distinguishes_datasets(tmp_path):
+    a = prerender(SyntheticMultiTaskDataset(["mono"], size=4, image_size=16,
+                                            seed=0), str(tmp_path))
+    b = prerender(SyntheticMultiTaskDataset(["mono"], size=4, image_size=16,
+                                            seed=1), str(tmp_path))
+    assert not np.array_equal(a.arrays["mono"], b.arrays["mono"])
+
+
+def test_vectorized_batches_equal_per_sample_path():
+    ds = SyntheticMultiTaskDataset(["rgb", "normal"], size=8, image_size=16)
+    pre = prerender(ds, None)
+    slow = BatchLoader(ds, batch_size=4, shuffle=True, seed=3)
+    fast = BatchLoader(pre, batch_size=4, shuffle=True, seed=3)
+    for b_slow, b_fast in zip(slow.epoch(0), fast.epoch(0)):
+        for t in b_slow:
+            np.testing.assert_array_equal(b_slow[t], b_fast[t])
+
+
+def test_thread_workers_equal_serial():
+    ds = SyntheticMultiTaskDataset(["rgb"], size=8, image_size=16)
+    serial = BatchLoader(ds, batch_size=4, shuffle=True, seed=5)
+    threaded = BatchLoader(ds, batch_size=4, shuffle=True, seed=5,
+                           num_workers=3)
+    for a, b in zip(serial.epoch(0), threaded.epoch(0)):
+        np.testing.assert_array_equal(a["rgb"], b["rgb"])
+
+
+def test_loader_not_input_bound_after_prerender():
+    """The pipeline goal (VERDICT round 1): loader throughput must exceed
+    any realistic step time by a wide margin once prerendered."""
+    ds = SyntheticMultiTaskDataset(["rgb", "depth_euclidean", "normal"],
+                                   size=64, image_size=64)
+    pre = prerender(ds, None)
+    loader = BatchLoader(pre, batch_size=16)
+    t0 = time.perf_counter()
+    n = sum(1 for _ in loader.epoch(0))
+    dt = (time.perf_counter() - t0) / n
+    assert dt < 0.05, f"vectorized batch fetch took {dt * 1e3:.1f} ms"

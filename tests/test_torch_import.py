@@ -160,3 +160,115 @@ def test_reconstruction_matches(imported):
     np.testing.assert_allclose(
         np.transpose(np.asarray(jrec), (0, 3, 1, 2)), trec.numpy(),
         rtol=1e-3, atol=1e-4)
+
+
+# --- disjoint/shared layout (amputated g_s: 4-deconv upsample stack + nested
+# --- Sequential at index 7, reference src/models/disjoint_latent.py:117-185)
+
+def _upsample_plus_head(slice_in, conv_channels, n_tasks, out_ch):
+    cc = conv_channels // n_tasks
+    return nn.Sequential(
+        _deconv(slice_in, cc), RefGDN(cc, True),
+        _deconv(cc, cc), RefGDN(cc, True),
+        _deconv(cc, cc), RefGDN(cc, True),
+        _deconv(cc, conv_channels),
+        _dec_head(conv_channels, out_ch))
+
+
+class RefShapedSharedModel(nn.Module):
+    """Reference state_dict layout for the 2-task shared-latent codec
+    (model 4): per-task slices + one shared slice, g_s amputated."""
+
+    def __init__(self, c=4, m=9, in_chs=(3, 1)):
+        super().__init__()
+        n = c * len(in_chs)
+        self.cpt = m // (len(in_chs) + 1)  # channels per task/shared block
+        self.model = nn.ModuleDict({
+            "input_heads": nn.ModuleList(
+                [_enc_head(ic, c) for ic in in_chs]),
+            "compressor": nn.ModuleDict({
+                "g_a": nn.Sequential(
+                    _conv(n, n), RefGDN(n), _conv(n, n), RefGDN(n),
+                    _conv(n, n), RefGDN(n), _conv(n, m)),
+                "h_a": nn.Sequential(
+                    _conv(m, n, 3, 1), nn.ReLU(), _conv(n, n), nn.ReLU(),
+                    _conv(n, n)),
+                "h_s": nn.Sequential(
+                    _deconv(n, n), nn.ReLU(), _deconv(n, n), nn.ReLU(),
+                    _conv(n, m, 3, 1), nn.ReLU()),
+            }),
+            "output_heads": nn.ModuleList(
+                [_upsample_plus_head(2 * self.cpt, c, len(in_chs), oc)
+                 for oc in in_chs]),
+        })
+        self.loss_balancer = nn.ParameterDict(
+            {"log_vars": nn.Parameter(torch.zeros(len(in_chs)))})
+
+    @torch.no_grad()
+    def forward_paths(self, xs):
+        stacked = torch.cat([h(x) for h, x in
+                             zip(self.model["input_heads"], xs)], dim=1)
+        y = self.model["compressor"]["g_a"](stacked)
+        y_hat = torch.round(y)
+        c = self.cpt
+        recs = []
+        for t, head in enumerate(self.model["output_heads"]):
+            v = torch.cat([y_hat[:, t * c:(t + 1) * c],
+                           y_hat[:, -c:]], dim=1)
+            recs.append(head(v))
+        return y, recs
+
+
+@pytest.fixture(scope="module")
+def imported_shared():
+    torch.manual_seed(3)
+    tmodel = RefShapedSharedModel().eval()
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.add_(0.02 * torch.randn_like(p))
+
+    jmodel = build_model(4, ["rgb", "mono"], latent_channels=9,
+                         conv_channels=4)
+    params = import_reference_state_dict(tmodel.state_dict(), jmodel)
+    variables = jmodel.init(jax.random.PRNGKey(0),
+                            jmodel.example_batch(image_size=256))
+    merged = dict(variables["params"])
+    for k, v in params.items():
+        if k == "compressor":
+            comp = dict(merged["compressor"])
+            comp.update(v)
+            merged["compressor"] = comp
+        else:
+            merged[k] = v
+    return tmodel, jmodel, {"params": merged}
+
+
+def test_shared_import_latents_and_reconstructions_match(imported_shared):
+    tmodel, jmodel, variables = imported_shared
+    rng = np.random.default_rng(7)
+    x_rgb = rng.random((2, 256, 256, 3)).astype(np.float32)
+    x_mono = rng.random((2, 256, 256, 1)).astype(np.float32)
+
+    ty, trecs = tmodel.forward_paths(
+        [torch.from_numpy(np.transpose(x_rgb, (0, 3, 1, 2))),
+         torch.from_numpy(np.transpose(x_mono, (0, 3, 1, 2)))])
+
+    batch = {"rgb": jnp.asarray(x_rgb), "mono": jnp.asarray(x_mono)}
+    jy, _ = jmodel.net.apply(variables, batch,
+                             method=type(jmodel.net).analyze)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(jy), (0, 3, 1, 2)), ty.numpy(),
+        rtol=1e-3, atol=1e-4)
+
+    jrecs = jmodel.decode_from_latents(variables, jnp.round(jy), None)
+    for t, task in enumerate(["rgb", "mono"]):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(jrecs[task]), (0, 3, 1, 2)),
+            trecs[t].numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_shared_import_log_vars(imported_shared):
+    tmodel, _, variables = imported_shared
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["log_vars"]),
+        tmodel.loss_balancer["log_vars"].detach().numpy())
