@@ -107,6 +107,12 @@ def fit(
     # metrics are cheap to skip in the scanned train step (PSNR/MS-SSIM per
     # microstep rival the model's own FLOPs) while the val epoch keeps them
     tm = compute_metrics if train_metrics is None else train_metrics
+    if steps_per_call > steps_per_epoch:
+        # _superbatches drops trailing incomplete groups; a group larger
+        # than the epoch would silently train zero steps per epoch
+        print(f"steps_per_call {steps_per_call} > {steps_per_epoch} "
+              f"batches/epoch — clamping")
+        steps_per_call = steps_per_epoch
     if steps_per_call > 1:
         from .step import make_multi_train_step
         train_step = make_multi_train_step(

@@ -1,0 +1,136 @@
+"""Render the paper-style RD figures + ordering check from the sweep output.
+
+Consumes artifacts/rd_paper.json (written by scripts/rd_paper_sweep.py) and
+produces, per task, bpp-vs-PSNR and bpp-vs-MSE*255^2 curves comparing the
+four variants — the shape of the reference's Figs. 4/7/8/9
+(src/plots.ipynb cells 17-42) — plus a machine-checkable summary:
+
+* per-curve monotonicity (distortion must improve as bpp grows),
+* the paper's average-over-tasks ordering Mixed > Shared >= Disjoint >
+  Single at matched rates (compared via each variant's RD curve
+  interpolated to the single-task models' achieved bpp).
+
+    python scripts/rd_plots.py [--in artifacts/rd_paper.json]
+                               [--out-dir artifacts/rd_paper_plots]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+KIND_ORDER = ["mixed", "shared", "disjoint", "single"]
+
+
+def load_points(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def curves_by_kind(points, task, bpp_key="actual_bpp"):
+    """{kind: [(bpp, psnr, mse255), ...] sorted by bpp} for one task.
+
+    The three per-task single models each contribute only their own task's
+    curve (paper convention: "3x single" = one single-task model per task).
+    """
+    out = {}
+    for p in points:
+        if task not in p.get("tasks", []):
+            continue
+        kind = "single" if p["kind"].startswith("single-") else p["kind"]
+        psnr, mse = p.get(f"{task}/psnr"), p.get(f"{task}/mse255")
+        if psnr is None or p.get(bpp_key) is None:
+            continue
+        out.setdefault(kind, []).append((p[bpp_key], psnr, mse))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def monotone_fraction(curve):
+    """Fraction of adjacent bpp-sorted pairs where PSNR is non-decreasing."""
+    if len(curve) < 2:
+        return 1.0
+    ok = sum(1 for a, b in zip(curve, curve[1:]) if b[1] >= a[1] - 1e-6)
+    return ok / (len(curve) - 1)
+
+
+def interp_psnr(curve, bpp):
+    xs = np.array([c[0] for c in curve])
+    ys = np.array([c[1] for c in curve])
+    return float(np.interp(bpp, xs, ys))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in", dest="inp", default="artifacts/rd_paper.json")
+    ap.add_argument("--out-dir", default="artifacts/rd_paper_plots")
+    ap.add_argument("--bpp-key", default="actual_bpp",
+                    choices=["actual_bpp", "estimated_bpp",
+                             "estimated_bpp_legacy"])
+    args = ap.parse_args(argv)
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    points = load_points(args.inp)
+    tasks = sorted({t for p in points for t in p.get("tasks", [])})
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    summary = {"bpp_key": args.bpp_key, "tasks": {}, "ordering": {}}
+
+    for task in tasks:
+        curves = curves_by_kind(points, task, args.bpp_key)
+        fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+        for kind in KIND_ORDER:
+            if kind not in curves:
+                continue
+            c = curves[kind]
+            xs = [p[0] for p in c]
+            axes[0].plot(xs, [p[1] for p in c], marker="o", label=kind)
+            axes[1].plot(xs, [p[2] for p in c], marker="o", label=kind)
+        axes[0].set_xlabel("bpp"); axes[0].set_ylabel(f"{task} PSNR (dB)")
+        axes[1].set_xlabel("bpp"); axes[1].set_ylabel(f"{task} MSE*255^2")
+        axes[1].set_yscale("log")
+        for ax in axes:
+            ax.grid(True, alpha=0.3); ax.legend()
+        fig.suptitle(f"{task} rate-distortion ({args.bpp_key})")
+        fig.tight_layout()
+        out = os.path.join(args.out_dir, f"rd_{task}.png")
+        fig.savefig(out, dpi=150)
+        plt.close(fig)
+
+        summary["tasks"][task] = {
+            kind: {"points": curves[kind],
+                   "monotone_fraction": monotone_fraction(curves[kind])}
+            for kind in curves}
+
+    # ordering check at matched rates: evaluate every multi-task curve at the
+    # single models' achieved bpps (paper Fig. 4 convention, avg over tasks)
+    per_kind_avg = {}
+    for task in tasks:
+        curves = curves_by_kind(points, task, args.bpp_key)
+        if "single" not in curves:
+            continue
+        for bpp, psnr, _ in curves["single"]:
+            for kind, c in curves.items():
+                val = psnr if kind == "single" else interp_psnr(c, bpp)
+                per_kind_avg.setdefault(kind, []).append(val)
+    avg = {k: float(np.mean(v)) for k, v in per_kind_avg.items()}
+    summary["ordering"]["avg_psnr_at_matched_bpp"] = avg
+    ranked = sorted(avg, key=avg.get, reverse=True)
+    summary["ordering"]["ranking"] = ranked
+    summary["ordering"]["paper_ranking"] = KIND_ORDER
+    summary["ordering"]["matches_paper"] = ranked == [
+        k for k in KIND_ORDER if k in ranked]
+
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary["ordering"], indent=2))
+    print(f"wrote {args.out_dir}/rd_<task>.png + summary.json")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

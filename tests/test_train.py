@@ -166,3 +166,19 @@ def test_multi_step_scan_matches_sequential(setup):
         np.testing.assert_allclose(
             np.asarray(flatten_dict(multi_state.params)[key]),
             np.asarray(v), rtol=1e-4, atol=1e-6, err_msg=str(key))
+
+
+def test_fit_clamps_steps_per_call_to_epoch_length(tmp_path):
+    """steps_per_call > batches/epoch must not silently train 0 steps
+    (the _superbatches grouping drops incomplete groups)."""
+    from mmnc_tpu.train.loop import fit
+
+    model = build_model(1, ["mono"], latent_channels=8, conv_channels=4,
+                        lmbda=1e-2, learning_rate_main=1e-3)
+    ds = SyntheticMultiTaskDataset(["mono"], size=4, image_size=256)
+    loader = BatchLoader(ds, batch_size=2, shuffle=False)  # 2 batches/epoch
+    state, _ = fit(model, loader, val_loader=None, epochs=1,
+                   run_name="clamp", out_dir=str(tmp_path),
+                   compute_metrics=False, log_images=False,
+                   steps_per_call=8, log_every=100)
+    assert int(state.step) == 2
