@@ -219,7 +219,7 @@ def check_bpp(model, variables, tables, batch) -> dict:
     logs) and the corrected-geometry one, which is the like-for-like
     comparator for the real bitstream (multi_task_compressor.py:520-532)."""
     ans, n_bytes = model.compress(variables, tables, batch)
-    b, h, w, _ = np.asarray(batch[model.tasks[0]]).shape
+    b, h, w, _ = batch[model.tasks[0]].shape  # no D2H just for the shape
     actual = n_bytes * 8 / (b * h * w * model.n_tasks)
     _, lik = model.forward(variables, batch, training=False)
     est, _ = model._compression_loss(lik, batch)

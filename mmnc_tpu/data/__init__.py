@@ -3,3 +3,4 @@ from .synthetic import SyntheticMultiTaskDataset
 from .loader import BatchLoader, prefetch_to_device
 from .clevr import CLEVRDataset
 from .prerender import PrerenderedDataset, prerender
+from .device_cache import DeviceResidentDataset

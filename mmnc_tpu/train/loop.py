@@ -58,6 +58,7 @@ def fit(
     max_steps: Optional[int] = None,
     log_every: int = 10,
     steps_per_call: int = 1,
+    val_every_epochs: int = 1,
 ):
     """Train `model`; returns (state, last_val_logs)."""
     run_dir = os.path.join(out_dir, run_name)
@@ -82,8 +83,10 @@ def fit(
             total_steps = saved_total
 
     rng = jax.random.PRNGKey(seed)
-    init_batch = jax.tree.map(np.asarray, next(iter(train_loader)))
-    variables = model.init(rng, jax.tree.map(jax.numpy.asarray, init_batch))
+    # keep device-resident batches on device (a D2H roundtrip here costs
+    # tens of seconds on this link); host batches go up via jnp.asarray
+    init_batch = jax.tree.map(jax.numpy.asarray, next(iter(train_loader)))
+    variables = model.init(rng, init_batch)
     state = create_train_state(
         variables["params"], total_steps,
         learning_rate_main=model.learning_rate_main,
@@ -172,7 +175,10 @@ def fit(
                     done = True
                     break
 
-            if val_loader is not None:
+            run_val = (val_loader is not None
+                       and ((epoch + 1) % val_every_epochs == 0
+                            or epoch == epochs - 1 or done))
+            if run_val:
                 acc = defaultdict(list)
                 for batch in prefetch_to_device(val_loader.epoch(0),
                                                 sharding=sharding):
