@@ -53,6 +53,10 @@ class DeviceResidentDataset:
     quantize=False stores the arrays as-is (fp32).
     """
 
+    # loaders/loops use this to skip host-side prefetch queues (each queued
+    # superbatch would pin ~1 GB of HBM for zero overlap benefit)
+    device_resident = True
+
     def __init__(self, arrays: Dict[str, np.ndarray], quantize: bool = True,
                  device: Optional[jax.Device] = None):
         sizes = {t: len(a) for t, a in arrays.items()}
@@ -76,7 +80,7 @@ class DeviceResidentDataset:
 
     def subset_tasks(self, tasks) -> "DeviceResidentDataset":
         """A view over a task subset — shares the device arrays (no copy)."""
-        view = object.__new__(DeviceResidentDataset)
+        view = object.__new__(DeviceResidentDataset)  # shares device_resident
         view.tasks = list(tasks)
         view.size = self.size
         view.quantize = self.quantize

@@ -151,12 +151,19 @@ def fit(
     except ValueError:
         pass  # not the main thread
 
+    # device-resident datasets gather batches on-device already; a prefetch
+    # queue would only pin extra superbatches in HBM (OOM at big configs)
+    def _staged(loader, epoch):
+        if (sharding is None and getattr(getattr(loader, "dataset", None),
+                                         "device_resident", False)):
+            return loader.epoch(epoch)
+        return prefetch_to_device(loader.epoch(epoch), sharding=sharding)
+
     try:
         for epoch in range(start_epoch, epochs):
             if done:
                 break
-            it = prefetch_to_device(train_loader.epoch(epoch),
-                                    sharding=sharding)
+            it = _staged(train_loader, epoch)
             if steps_per_call > 1:
                 it = _superbatches(it, steps_per_call)
             for batch in it:
@@ -180,8 +187,7 @@ def fit(
                             or epoch == epochs - 1 or done))
             if run_val:
                 acc = defaultdict(list)
-                for batch in prefetch_to_device(val_loader.epoch(0),
-                                                sharding=sharding):
+                for batch in _staged(val_loader, 0):
                     logs = jax.device_get(eval_step(state.params, batch))
                     for k, v in logs.items():
                         acc[k].append(float(v))

@@ -135,15 +135,22 @@ def main(argv=None):
                 dev_train, dev_val, tasks, args.batch_size)
             epochs = (args.steps * args.batch_size
                       // (len(train_loader) * args.batch_size)) + 1
+            # big decoders (C=42 disjoint/shared upsample stacks) need the
+            # smaller in-flight superbatch to stay inside HBM
+            spc = min(args.steps_per_call, 4 if conv > 32 else 8)
             print(f"=== {run}: {model.get_model_name()} M={model.latent_channels} "
                   f"C={conv} lmbda={lmbda}")
-            state, val_logs = fit(
-                model, train_loader, val_loader,
-                epochs=epochs, run_name=run, out_dir=args.run_dir,
-                resume=True, compute_metrics=True, train_metrics=False,
-                log_images=False, max_steps=args.steps,
-                steps_per_call=args.steps_per_call, log_every=50,
-                val_every_epochs=10)
+            try:
+                state, val_logs = fit(
+                    model, train_loader, val_loader,
+                    epochs=epochs, run_name=run, out_dir=args.run_dir,
+                    resume=True, compute_metrics=True, train_metrics=False,
+                    log_images=False, max_steps=args.steps,
+                    steps_per_call=spc, log_every=50,
+                    val_every_epochs=10)
+            except Exception as e:  # noqa: BLE001 — skip, keep sweeping
+                print(f"!!! {run} failed: {type(e).__name__}: {e}")
+                continue
 
             point = {"run": run, "kind": kind, "model": model_num,
                      "lmbda": lmbda, "tasks": list(tasks),
@@ -154,7 +161,11 @@ def main(argv=None):
                           for k, v in val_logs.items()})
             point["estimated_bpp_train_geometry"] = val_logs.get(
                 "val/compression_loss")
-            point.update(rd_eval(model, state, val_loader))
+            try:
+                point.update(rd_eval(model, state, val_loader))
+            except Exception as e:  # noqa: BLE001 — keep the training point
+                print(f"!!! {run} rd_eval failed: {type(e).__name__}: {e}")
+            del state
             points.append(point)
             done[run] = point
             with open(args.out, "w") as f:
