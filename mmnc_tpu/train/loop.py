@@ -59,6 +59,7 @@ def fit(
     log_every: int = 10,
     steps_per_call: int = 1,
     val_every_epochs: int = 1,
+    extend_schedule: bool = False,
 ):
     """Train `model`; returns (state, last_val_logs)."""
     run_dir = os.path.join(out_dir, run_name)
@@ -77,10 +78,16 @@ def fit(
         with open(os.path.join(last, "hyper_parameters.json")) as f:
             saved_total = _json.load(f).get("total_steps")
         if saved_total is not None and saved_total != total_steps:
-            print(f"resume: keeping the original LR-schedule horizon "
-                  f"({saved_total} steps, this invocation implies "
-                  f"{total_steps})")
-            total_steps = saved_total
+            if extend_schedule and total_steps > saved_total:
+                # warm-restart extension: re-horizon the cosine decay to the
+                # new length (the LR jumps back up — intended, SGDR-style)
+                print(f"resume: extending the LR-schedule horizon "
+                      f"{saved_total} -> {total_steps} steps")
+            else:
+                print(f"resume: keeping the original LR-schedule horizon "
+                      f"({saved_total} steps, this invocation implies "
+                      f"{total_steps})")
+                total_steps = saved_total
 
     rng = jax.random.PRNGKey(seed)
     # keep device-resident batches on device (a D2H roundtrip here costs

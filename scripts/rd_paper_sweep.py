@@ -61,6 +61,11 @@ def parse_args(argv):
     p.add_argument("--run-dir", default="runs/rd_paper")
     p.add_argument("--only", default=None,
                    help="comma-separated run-kind filter (e.g. 'mixed,shared')")
+    p.add_argument("--extend", action="store_true",
+                   help="re-horizon the LR schedule when --steps exceeds a "
+                        "finished run's horizon (warm-restart extension)")
+    p.add_argument("--refresh", action="store_true",
+                   help="recompute runs already present in --out")
     return p.parse_args(argv)
 
 
@@ -123,7 +128,7 @@ def main(argv=None):
             continue
         for lmbda in LMBDAS:
             run = f"{kind}-l{lmbda:g}"
-            if run in done:
+            if run in done and not args.refresh:
                 print(f"skip {run} (already in {args.out})")
                 continue
             t0 = time.time()
@@ -147,7 +152,7 @@ def main(argv=None):
                     resume=True, compute_metrics=True, train_metrics=False,
                     log_images=False, max_steps=args.steps,
                     steps_per_call=spc, log_every=50,
-                    val_every_epochs=10)
+                    val_every_epochs=10, extend_schedule=args.extend)
             except Exception as e:  # noqa: BLE001 — skip, keep sweeping
                 print(f"!!! {run} failed: {type(e).__name__}: {e}")
                 continue
@@ -166,8 +171,8 @@ def main(argv=None):
             except Exception as e:  # noqa: BLE001 — keep the training point
                 print(f"!!! {run} rd_eval failed: {type(e).__name__}: {e}")
             del state
-            points.append(point)
             done[run] = point
+            points = list(done.values())  # replaces the old point on refresh
             with open(args.out, "w") as f:
                 json.dump(points, f, indent=2)
             print(f"  -> {json.dumps({k: v for k, v in point.items() if 'loss' not in k}, default=float)[:400]}")
