@@ -1,0 +1,54 @@
+"""Post-sweep roundup: figures + ordering check + learned-baseline overlay.
+
+Runs after scripts/rd_paper_sweep.py:
+  1. scripts/rd_plots.py — per-task RD figures + monotonicity/ordering summary
+  2. analysis.learned_baseline_rd over the sweep's single-rgb checkpoints
+     (the pretrained-hyperprior stand-in of plots.ipynb cell 5), written to
+     artifacts/learned_baseline_rd.json
+
+    python scripts/rd_roundup.py [--run-dir runs/rd_paper]
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run-dir", default="runs/rd_paper")
+    ap.add_argument("--in", dest="inp", default="artifacts/rd_paper.json")
+    ap.add_argument("--out-dir", default="artifacts/rd_paper_plots")
+    args = ap.parse_args(argv)
+
+    from scripts import rd_plots
+    rd_plots.main(["--in", args.inp, "--out-dir", args.out_dir])
+
+    from mmnc_tpu import analysis
+    ckpts = []
+    for run in sorted(glob.glob(os.path.join(args.run_dir, "single-rgb-l*"))):
+        steps = sorted(glob.glob(os.path.join(run, "checkpoints", "step_*")),
+                       key=lambda p: int(p.rsplit("_", 1)[1]))
+        if steps:
+            ckpts.append(steps[-1])
+    if ckpts:
+        points = analysis.learned_baseline_rd(ckpts, batch_size=16)
+        with open("artifacts/learned_baseline_rd.json", "w") as f:
+            json.dump(points, f, indent=2)
+        print(f"learned-baseline overlay: {len(points)} points ->"
+              " artifacts/learned_baseline_rd.json")
+        for p in points:
+            print(f"  lmbda={p['lmbda']}: bpp={p['bpp']:.4f} "
+                  f"rgb/psnr={p['rgb/psnr']:.2f}")
+    else:
+        print("no single-rgb checkpoints found; skipping baseline overlay")
+
+
+if __name__ == "__main__":
+    main()
