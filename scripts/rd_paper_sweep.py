@@ -152,7 +152,8 @@ def main(argv=None):
                     resume=True, compute_metrics=True, train_metrics=False,
                     log_images=False, max_steps=args.steps,
                     steps_per_call=spc, log_every=50,
-                    val_every_epochs=10, extend_schedule=args.extend)
+                    val_every_epochs=10, extend_schedule=args.extend,
+                    checkpoint_every_epochs=10)
             except Exception as e:  # noqa: BLE001 — skip, keep sweeping
                 print(f"!!! {run} failed: {type(e).__name__}: {e}")
                 continue
