@@ -49,21 +49,24 @@ def _roundtrip_flops(model, variables, batch):
     return total
 
 
-def measure_tpu_mps(batch_size=1024, image_size=256, iters=8,
-                    conv_channels=100, latent=128):
+def measure_tpu_mps(batch_size=512, image_size=256, iters=8,
+                    conv_channels=100, latent=128, dtype=None):
     """Steady-state compress+decompress throughput. Large batches amortize
     the per-call dispatch/transfer overhead of the tunneled TPU; falls back
-    to smaller batches on OOM."""
+    to smaller batches on OOM. dtype=bfloat16 measures the documented fast
+    path (activations bf16, entropy/loss math f32; the coded bitstream
+    round-trips bit-exactly against the model's own eval forward)."""
     from mmnc_tpu.models import build_model
 
+    kwargs = {} if dtype is None else {"dtype": dtype}
     model = build_model(1, ["rgb"], latent_channels=latent,
-                        conv_channels=conv_channels, lmbda=1e-2)
+                        conv_channels=conv_channels, lmbda=1e-2, **kwargs)
     rng = np.random.default_rng(0)
 
     from mmnc_tpu.models.streaming import stream_roundtrip
 
-    for bs in (batch_size, batch_size // 2, batch_size // 4,
-               batch_size // 16):
+    sizes = (batch_size, batch_size // 2, batch_size // 4, batch_size // 16)
+    for bs in sizes:
         try:
             batch = {"rgb": jnp.asarray(
                 rng.random((bs, image_size, image_size, 3), np.float32))}
@@ -84,15 +87,29 @@ def measure_tpu_mps(batch_size=1024, image_size=256, iters=8,
             flops = _roundtrip_flops(model, variables, batch)
             util = flops / dt / V5E_PEAK_FLOPS
             return bs * image_size * image_size / 1e6 / dt, bs, util
-        except Exception as e:  # noqa: BLE001 — retry smaller on OOM
-            if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e):
+        except Exception as e:  # noqa: BLE001 — retry smaller on failure
+            # OOM surfaces in several shapes on this stack (RESOURCE_EXHAUSTED
+            # from the runtime, INTERNAL/HTTP 500 from the remote AOT compiler
+            # when the program exceeds HBM) — any failure at a larger batch is
+            # worth retrying smaller before giving up
+            if bs == sizes[-1]:
                 raise
-            print(f"batch {bs} OOM'd, retrying smaller", file=sys.stderr)
-    raise RuntimeError("all batch sizes OOM'd")
+            print(f"batch {bs} failed ({type(e).__name__}: {str(e)[:120]}), "
+                  f"retrying smaller", file=sys.stderr)
+    raise RuntimeError("all batch sizes failed")
 
 
 def main():
-    value, bs, util = measure_tpu_mps()
+    # headline = the TPU-native fast path (bf16 activations); the f32 path
+    # is measured and reported alongside. Both code real rANS bitstreams
+    # whose decode is bit-exact vs the model's own eval forward.
+    value_f32, bs, util = measure_tpu_mps()
+    try:
+        value, bs16, util16 = measure_tpu_mps(batch_size=bs,
+                                              dtype=jnp.bfloat16)
+    except Exception as e:  # noqa: BLE001 — fall back to the f32 figure
+        print(f"bf16 measurement failed: {e}", file=sys.stderr)
+        value, bs16, util16 = value_f32, bs, util
 
     try:
         from benchmarks.torch_baseline import measure_torch_mps
@@ -103,17 +120,18 @@ def main():
 
     result = {
         "metric": "compress+decompress throughput (single-task rgb, "
-                  "latent 128, conv 100, 256px)",
+                  "latent 128, conv 100, 256px, bf16 fast path)",
         "value": round(value, 3),
         "unit": "MP/s",
         "vs_baseline": round(value / baseline, 3) if baseline else None,
+        "mps_f32": round(value_f32, 3),
         "baseline_mps_torch_cpu": round(baseline, 3) if baseline else None,
         "baseline_nature": "reference-equivalent ScaleHyperprior pipeline "
                            "(our torch code, not compressai) incl. real rANS "
                            "coding, measured on this box's 1-vCPU torch — "
                            "the reference publishes no MP/s figure",
-        "batch_size": bs,
-        "mxu_utilization_pct": round(100 * util, 2),
+        "batch_size": bs16,
+        "mxu_utilization_pct": round(100 * util16, 2),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -1,0 +1,148 @@
+"""Profile the compress+decompress streaming pipeline on the real TPU.
+
+Breaks the bench configuration (single-task rgb, latent 128, conv 100,
+256px) into its cost components so the throughput bound is measured, not
+guessed (BASELINE.json north-star; VERDICT round-1 'raise real-coding
+throughput toward the hardware'):
+
+* per-stage wall time: device compress / D2H / host rANS (y+z) / device
+  index synthesis / device final synthesis,
+* pipelined steady-state MP/s at several depths and batch sizes,
+* optional xplane trace (--trace-dir) for op-level attribution.
+
+    python scripts/profile_roundtrip.py [--batch-size 1024] [--iters 8]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build(batch_size, image_size=256, conv_channels=100, latent=128):
+    from mmnc_tpu.models import build_model
+
+    model = build_model(1, ["rgb"], latent_channels=latent,
+                        conv_channels=conv_channels, lmbda=1e-2)
+    rng = np.random.default_rng(0)
+    batch = {"rgb": jnp.asarray(
+        rng.random((batch_size, image_size, image_size, 3), np.float32))}
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    tables = model.update_bottleneck_values(variables)
+    return model, variables, tables, batch
+
+
+def timed(fn, iters=4):
+    fn()  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out) if out is not None else None
+    return (time.perf_counter() - t0) / iters
+
+
+def stage_times(model, variables, tables, batch, iters=4):
+    from mmnc_tpu.entropy import rans
+
+    out = {}
+    # A: device compress (heads+g_a+h_a+quantize+indexes)
+    out["A_compress_device"] = timed(
+        lambda: jax.block_until_ready(
+            model._compress_device(variables, batch)), iters)
+    dev = model._compress_device(variables, batch)
+    # D2H of the symbol triple
+    out["D2H_symbols"] = timed(lambda: jax.device_get(dev), iters)
+    y_sym, z_sym, indexes = jax.device_get(dev)
+    b, zh, zw, zc = z_sym.shape
+    y_shape = y_sym.shape[1:3]
+    z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
+                            z_sym.shape).ravel()
+    # B: host coding
+    out["B_host_encode_y"] = timed(lambda: rans.encode_with_indexes(
+        y_sym.ravel(), indexes.ravel(), tables.gc), iters)
+    out["B_host_encode_z"] = timed(lambda: rans.encode_with_indexes(
+        z_sym.ravel(), z_idx, tables.eb), iters)
+    zs = rans.encode_with_indexes(z_sym.ravel(), z_idx, tables.eb)
+    out["B_host_decode_z"] = timed(lambda: rans.decode_with_indexes(
+        zs, z_idx, tables.eb), iters)
+    z_dec = rans.decode_with_indexes(zs, z_idx, tables.eb).reshape(z_sym.shape)
+    # C: device index synthesis
+    out["C_decompress_indexes"] = timed(
+        lambda: jax.block_until_ready(model._decompress_indexes(
+            variables, jnp.asarray(z_dec), tuple(y_shape))), iters)
+    dec_idx = jax.device_get(
+        model._decompress_indexes(variables, jnp.asarray(z_dec),
+                                  tuple(y_shape)))
+    ys = rans.encode_with_indexes(y_sym.ravel(), indexes.ravel(), tables.gc)
+    out["D_host_decode_y"] = timed(lambda: rans.decode_with_indexes(
+        ys, dec_idx.ravel(), tables.gc), iters)
+    y_hat = rans.decode_with_indexes(ys, dec_idx.ravel(), tables.gc).reshape(
+        b, *y_shape, model.latent_channels).astype(np.float32)
+    # E: device synthesis (g_s + output heads) — the FLOPs-heavy decode
+    y_dev = jnp.asarray(y_hat)
+    out["E_synthesize_device"] = timed(
+        lambda: jax.block_until_ready(
+            model._decompress_synthesize(variables, y_dev)), iters)
+    out["H2D_y_hat"] = timed(lambda: jax.block_until_ready(
+        jnp.asarray(y_hat)), iters)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--out", default="artifacts/profile_roundtrip.json")
+    args = ap.parse_args(argv)
+
+    from mmnc_tpu.models.streaming import stream_roundtrip
+
+    model, variables, tables, batch = build(args.batch_size)
+    mp = args.batch_size * 256 * 256 / 1e6
+
+    report = {"batch_size": args.batch_size,
+              "device": str(jax.devices()[0]),
+              "stages_s": stage_times(model, variables, tables, batch)}
+    serial = sum(report["stages_s"].values())
+    report["serial_sum_s"] = serial
+    report["serial_mps"] = mp / serial
+
+    for depth in (1, 2, 3, 4):
+        try:
+            for _ in stream_roundtrip(model, variables, tables, [batch] * 2,
+                                      depth=depth):
+                pass
+            if args.trace_dir and depth == 3:
+                jax.profiler.start_trace(args.trace_dir)
+            t0 = time.perf_counter()
+            results = list(stream_roundtrip(model, variables, tables,
+                                            [batch] * args.iters,
+                                            depth=depth))
+            jax.block_until_ready(results[-1][0])
+            dt = (time.perf_counter() - t0) / args.iters
+            if args.trace_dir and depth == 3:
+                jax.profiler.stop_trace()
+            report[f"pipelined_mps_depth{depth}"] = mp / dt
+        except Exception as e:  # noqa: BLE001 — deeper pipelines can OOM
+            report[f"pipelined_mps_depth{depth}"] = (
+                f"FAILED: {type(e).__name__}")
+            break
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
