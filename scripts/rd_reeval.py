@@ -1,0 +1,116 @@
+"""Re-evaluate every sweep checkpoint over the FULL val set.
+
+The sweep's inline rd_eval scores one 64-image batch; at ~0.1 dB PSNR
+separations that sampling noise can flip curve ordering. This script
+rebuilds each run's latest checkpoint and recomputes the RD point over the
+whole val split (metrics averaged over all batches; actual packed-bitstream
+bpp from real rANS coding of the full split), writing
+artifacts/rd_paper_eval.json for scripts/rd_plots.py.
+
+    python scripts/rd_reeval.py [--run-dir runs/rd_paper]
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def latest_ckpt(run_dir):
+    steps = sorted(glob.glob(os.path.join(run_dir, "checkpoints", "step_*")),
+                   key=lambda p: int(p.rsplit("_", 1)[1]))
+    return (steps[-1], int(steps[-1].rsplit("_", 1)[1])) if steps else (None, 0)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run-dir", default="runs/rd_paper")
+    ap.add_argument("--val-size", type=int, default=256)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--out", default="artifacts/rd_paper_eval.json")
+    args = ap.parse_args(argv)
+
+    from mmnc_tpu import analysis
+    from mmnc_tpu.data import (SyntheticMultiTaskDataset, BatchLoader,
+                               DeviceResidentDataset, prerender)
+    from mmnc_tpu.ops import metrics as M
+    from mmnc_tpu.utils.checkpoint import (rebuild_model_from_checkpoint,
+                                           restore_checkpoint)
+    from mmnc_tpu.train.state import create_train_state
+
+    full_val = prerender(SyntheticMultiTaskDataset(
+        ["rgb", "depth_euclidean", "normal"], size=args.val_size,
+        image_size=256, seed=10 ** 6), "data/prerendered")
+    dev_val = DeviceResidentDataset(full_val.arrays)
+    del full_val
+
+    points = []
+    for run_dir in sorted(glob.glob(os.path.join(args.run_dir, "*"))):
+        run = os.path.basename(run_dir)
+        ckpt, step = latest_ckpt(run_dir)
+        if ckpt is None:
+            continue
+        t0 = time.time()
+        model, hp = rebuild_model_from_checkpoint(ckpt)
+        variables = model.init(jax.random.PRNGKey(0), model.example_batch())
+        state = create_train_state(variables["params"], 1)
+        payload, _ = restore_checkpoint(ckpt, state)
+        variables = {"params": payload["params"]}
+        tables = model.update_bottleneck_values(variables)
+
+        loader = BatchLoader(dev_val.subset_tasks(list(model.tasks)),
+                             args.batch_size, shuffle=False)
+        kind = (run.rsplit("-l", 1)[0])
+        point = {"run": run, "kind": kind, "lmbda": hp.get("lmbda"),
+                 "steps": step, "tasks": list(model.tasks),
+                 "n_images": len(loader) * args.batch_size}
+        total_bytes = 0
+        n_pix = 0
+        acc = {}
+        for batch in loader.epoch(0):
+            batch = {t: jnp.asarray(v) for t, v in batch.items()}
+            _, n_bytes = model.compress(variables, tables, batch)
+            b, h, w, _ = batch[model.tasks[0]].shape
+            total_bytes += n_bytes
+            n_pix += b * h * w
+            x_hats, lik = model.forward(variables, batch, training=False)
+            est, _ = model._compression_loss(lik, batch)
+            twin = model.corrected_geometry_twin()
+            _, lik_c = twin.forward(variables, batch, training=False)
+            est_c, _ = twin._compression_loss(lik_c, batch)
+            acc.setdefault("est_legacy", []).append(float(est))
+            acc.setdefault("est_corrected", []).append(float(est_c))
+            for t in model.tasks:
+                mse255 = float(jnp.mean((x_hats[t] - batch[t]) ** 2)) * 255.0 ** 2
+                acc.setdefault(f"{t}/mse255", []).append(mse255)
+                acc.setdefault(f"{t}/psnr", []).append(
+                    float(M.psnr(x_hats[t] * 255.0, batch[t] * 255.0, 255.0)))
+                acc.setdefault(f"{t}/ms-ssim", []).append(
+                    float(M.ms_ssim(x_hats[t] * 255.0, batch[t] * 255.0,
+                                    255.0)))
+        point["actual_bpp"] = total_bytes * 8 / (n_pix * model.n_tasks)
+        point["estimated_bpp_legacy"] = float(np.mean(acc.pop("est_legacy")))
+        point["estimated_bpp"] = float(np.mean(acc.pop("est_corrected")))
+        for k, v in acc.items():
+            point[k] = float(np.mean(v))
+        points.append(point)
+        print(f"{run}: step {step} bpp {point['actual_bpp']:.4f} "
+              f"(legacy est {point['estimated_bpp_legacy']:.4f}) "
+              f"[{time.time() - t0:.0f}s]")
+        with open(args.out, "w") as f:
+            json.dump(points, f, indent=2)
+    print(f"wrote {args.out} with {len(points)} points")
+
+
+if __name__ == "__main__":
+    main()
