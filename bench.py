@@ -104,12 +104,14 @@ def main():
     # is measured and reported alongside. Both code real rANS bitstreams
     # whose decode is bit-exact vs the model's own eval forward.
     value_f32, bs, util = measure_tpu_mps()
+    precision = "bf16"
     try:
         value, bs16, util16 = measure_tpu_mps(batch_size=bs,
                                               dtype=jnp.bfloat16)
     except Exception as e:  # noqa: BLE001 — fall back to the f32 figure
         print(f"bf16 measurement failed: {e}", file=sys.stderr)
         value, bs16, util16 = value_f32, bs, util
+        precision = "f32"
 
     try:
         from benchmarks.torch_baseline import measure_torch_mps
@@ -120,8 +122,9 @@ def main():
 
     result = {
         "metric": "compress+decompress throughput (single-task rgb, "
-                  "latent 128, conv 100, 256px, bf16 fast path)",
+                  f"latent 128, conv 100, 256px, {precision} path)",
         "value": round(value, 3),
+        "precision": precision,
         "unit": "MP/s",
         "vs_baseline": round(value / baseline, 3) if baseline else None,
         "mps_f32": round(value_f32, 3),

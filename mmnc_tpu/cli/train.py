@@ -99,10 +99,19 @@ def get_loaders(args):
         train = CLEVRDataset(root, args.tasks, "train", args.image_size)
         val = CLEVRDataset(root, args.tasks, "val", args.image_size)
     if getattr(args, "prerender", False):
-        from ..data.prerender import prerender
-        cache = getattr(args, "data_cache_dir", None)
-        train = prerender(train, cache)
-        val = prerender(val, cache)
+        # materializing a split needs ~size * H*W*C*4 bytes of RAM + disk;
+        # at CLEVR scale (50k x 256px) that is tens of GB — stream instead
+        # unless the user insists via --prerender on a smaller subset
+        n_px = len(train) * args.image_size * args.image_size
+        if n_px > 20_000 * 256 * 256:
+            print(f"prerender skipped: split of {len(train)} samples is too "
+                  f"large to materialize in RAM; streaming instead "
+                  f"(use --no-prerender to silence)")
+        else:
+            from ..data.prerender import prerender
+            cache = getattr(args, "data_cache_dir", None)
+            train = prerender(train, cache)
+            val = prerender(val, cache)
     workers = getattr(args, "num_workers", 0)
     return (BatchLoader(train, args.batch_size, shuffle=True,
                         num_workers=workers),

@@ -16,6 +16,7 @@ of a v5e's 16 GB HBM; fp32 storage (no quantization) is supported for
 small datasets.
 """
 
+from functools import partial
 from typing import Dict, Optional
 
 import numpy as np
@@ -23,17 +24,19 @@ import jax
 import jax.numpy as jnp
 
 
-_QUANT_SCALE = 65535.0
+_QUANT_LEVELS = 65535.0
 
 
-@jax.jit
-def _quantize_u16(x):
-    return jnp.round(jnp.clip(x, 0.0, 1.0) * _QUANT_SCALE).astype(jnp.uint16)
+@partial(jax.jit, static_argnums=1)
+def _quantize_u16(x, scale):
+    return jnp.round(
+        jnp.clip(x, 0.0, scale) * (_QUANT_LEVELS / scale)).astype(jnp.uint16)
 
 
-@jax.jit
-def _gather_dequant_u16(arr, idx):
-    return jnp.take(arr, idx, axis=0).astype(jnp.float32) / _QUANT_SCALE
+@partial(jax.jit, static_argnums=2)
+def _gather_dequant_u16(arr, idx, scale):
+    return jnp.take(arr, idx, axis=0).astype(jnp.float32) * (
+        scale / _QUANT_LEVELS)
 
 
 @jax.jit
@@ -48,8 +51,10 @@ class DeviceResidentDataset:
     by an on-device gather — BatchLoader uses it via its get_batch fast
     path, and prefetch_to_device's device_put is a no-op on the results.
 
-    quantize=True stores uint16 in [0,1] (exact for 8/16-bit image sources
-    after their /65535-style decode; max error 7.6e-6 otherwise);
+    quantize=True stores uint16 over [0, scale] with a per-task scale =
+    max(1.0, ceil(task max)) — so [0,1] image data keeps the full 16-bit
+    grid (below the 8/16-bit source precision of the CLEVR contract) and
+    out-of-[0,1] tasks (e.g. semantic class ids 0..16) are NOT clipped;
     quantize=False stores the arrays as-is (fp32).
     """
 
@@ -65,10 +70,15 @@ class DeviceResidentDataset:
         self.size = next(iter(sizes.values()))
         self.quantize = quantize
         self._dev = {}
+        self._scales = {}
         for t, a in arrays.items():
             x = jax.device_put(a, device)
             if quantize and np.issubdtype(np.asarray(a).dtype, np.floating):
-                x = _quantize_u16(x)
+                # per-task range so values beyond [0,1] survive quantization
+                scale = float(max(1.0, np.ceil(float(
+                    jax.device_get(jnp.max(x))))))
+                self._scales[t] = scale
+                x = _quantize_u16(x, scale)
                 jax.block_until_ready(x)
                 # drop the fp32 upload before staging the next task
                 self._dev[t] = x
@@ -85,6 +95,7 @@ class DeviceResidentDataset:
         view.size = self.size
         view.quantize = self.quantize
         view._dev = {t: self._dev[t] for t in tasks}
+        view._scales = {t: s for t, s in self._scales.items() if t in tasks}
         return view
 
     def get_batch(self, indices) -> Dict[str, jax.Array]:
@@ -93,7 +104,7 @@ class DeviceResidentDataset:
         for t in self.tasks:
             a = self._dev[t]
             if a.dtype == jnp.uint16:
-                out[t] = _gather_dequant_u16(a, idx)
+                out[t] = _gather_dequant_u16(a, idx, self._scales[t])
             else:
                 out[t] = _gather(a, idx)
         return out

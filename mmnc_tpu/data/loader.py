@@ -39,6 +39,15 @@ class BatchLoader:
         self.num_workers = num_workers
         self._pool = None
 
+    def close(self):
+        """Shut down the worker pool (idempotent)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __del__(self):
+        self.close()
+
     def __len__(self):
         return len(self.dataset) // self.batch_size
 

@@ -51,6 +51,12 @@ def _dataset_cache_key(dataset) -> str:
         "seed": getattr(dataset, "seed", None),
         "split": getattr(dataset, "split", None),
     }
+    # distinguish different on-disk copies of the same-shape dataset
+    # (omitted entirely for path-less datasets so their cache keys — e.g.
+    # the synthetic renders already on disk — stay stable)
+    path = getattr(dataset, "data_path", getattr(dataset, "root", None))
+    if path is not None:
+        ident["data_path"] = str(path)
     blob = json.dumps(ident, sort_keys=True).encode()
     return hashlib.sha1(blob).hexdigest()[:16]
 

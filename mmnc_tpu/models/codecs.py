@@ -241,14 +241,20 @@ class MultiTaskCompressorBase:
         (reference print_info, multi_task_compressor.py:520-532)."""
         if not self.legacy_broadcast:
             return self
-        return type(self)(
-            tasks=self.tasks, input_channels=self.input_channels,
-            output_channels=self.output_channels,
-            latent_channels=self.latent_channels,
-            conv_channels=self.conv_channels, lmbda=self.lmbda,
-            learning_rate_main=self.learning_rate_main,
-            learning_rate_aux=self.learning_rate_aux,
-            legacy_broadcast=False)
+        # memoized: a fresh instance per call would be a new identity-hashed
+        # static jit argument — every caller's batch would retrace/recompile
+        twin = getattr(self, "_corrected_twin", None)
+        if twin is None:
+            twin = type(self)(
+                tasks=self.tasks, input_channels=self.input_channels,
+                output_channels=self.output_channels,
+                latent_channels=self.latent_channels,
+                conv_channels=self.conv_channels, lmbda=self.lmbda,
+                learning_rate_main=self.learning_rate_main,
+                learning_rate_aux=self.learning_rate_aux,
+                legacy_broadcast=False, dtype=self.net.dtype)
+            self._corrected_twin = twin
+        return twin
 
     def example_batch(self, batch_size=1, image_size=256, rng=None, seed=0):
         """Random batch with valid per-task ranges (host numpy — cheap)."""
@@ -424,7 +430,7 @@ class MultiTaskCompressorBase:
                               method=MultiTaskCodecNet.synthesize_from_y)
 
     def decompress(self, variables, tables: CodecTables, strings,
-                   shape, y_shape=None, batch_size=None):
+                   shape=None, y_shape=None, batch_size=None):
         """strings=[y_strings, z_strings] -> {task: reconstruction}
         (reference decompress(), multi_task_compressor.py:536-549 — without
         the stock [0,1] clamp, like the reference).
@@ -432,7 +438,17 @@ class MultiTaskCompressorBase:
         Accepts both stream layouts: per-image strings (reference layout)
         and the packed one-stream-per-batch layout (pass `batch_size` from
         the compress() ans dict; with one string and batch_size > 1 the
-        stream is decoded as batch_size items)."""
+        stream is decoded as batch_size items). The whole compress() ans
+        dict may be passed as `strings` — shape/y_shape/batch_size are then
+        taken from it, which avoids the foot-gun of decoding a packed
+        batch-of-N stream as one image by forgetting batch_size."""
+        if isinstance(strings, dict):  # a compress() ans dict
+            ans = strings
+            strings = ans["strings"]
+            shape = ans["shape"]
+            y_shape = ans.get("y_shape", y_shape)
+            batch_size = ans.get("batch_size", batch_size)
+        assert shape is not None, "shape required (or pass the ans dict)"
         y_strings, z_strings = strings
         zh, zw = shape
         zc = self.conv_channels * self.n_tasks

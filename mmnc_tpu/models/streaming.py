@@ -63,7 +63,9 @@ def stream_roundtrip(model, variables, tables, batches: Iterable,
 
     Yields (x_hats, n_bytes) per input batch, in order. Equivalent to
     calling model.compress + model.decompress per batch, but device work
-    for up to `depth` batches stays in flight while the host range-codes.
+    for up to `depth`+1 batches stays in flight (the guard runs after the
+    newest dispatch) while the host range-codes — size HBM headroom for
+    depth+1 batches' intermediates.
     """
     ex = ThreadPoolExecutor(coder_threads)
     try:

@@ -59,8 +59,19 @@ def stage_times(model, variables, tables, batch, iters=4):
         lambda: jax.block_until_ready(
             model._compress_device(variables, batch)), iters)
     dev = model._compress_device(variables, batch)
-    # D2H of the symbol triple
-    out["D2H_symbols"] = timed(lambda: jax.device_get(dev), iters)
+    # D2H of the symbol triple — device_get caches the host copy on the
+    # array, so each timed iteration must fetch a FRESH (copied) triple
+    fresh = jax.jit(lambda t: jax.tree.map(lambda a: a + 0, t))
+
+    def d2h():
+        t = fresh(dev)
+        jax.block_until_ready(t)
+        t0 = time.perf_counter()
+        jax.device_get(t)
+        return time.perf_counter() - t0
+
+    d2h()  # warm the copy jit
+    out["D2H_symbols"] = sum(d2h() for _ in range(iters)) / iters
     y_sym, z_sym, indexes = jax.device_get(dev)
     b, zh, zw, zc = z_sym.shape
     y_shape = y_sym.shape[1:3]

@@ -60,3 +60,14 @@ def test_getitem_returns_host_sample():
     s = ds[2]
     np.testing.assert_allclose(s["rgb"], arrays["rgb"][2],
                                atol=0.5 / 65535 + 1e-7)
+
+
+def test_out_of_unit_range_tasks_survive_quantization():
+    """Semantic class ids (floats 0..16) must not be clipped to 1.0
+    (per-task quantization scale)."""
+    rng = np.random.default_rng(3)
+    sem = np.floor(rng.random((4, 8, 8, 1), np.float32) * 16.99)
+    ds = DeviceResidentDataset({"semantic": sem})
+    got = np.asarray(ds.get_batch([0, 1, 2, 3])["semantic"])
+    np.testing.assert_allclose(got, sem, atol=16.0 * 0.5 / 65535 + 1e-6)
+    assert got.max() > 1.5  # clipping would have collapsed everything to 1
