@@ -97,3 +97,30 @@ def test_model_compress_packed_overhead_is_per_batch():
     # packed: going 4 -> 8 images adds symbol content only (no new flushes);
     # allow the content itself (identical distribution) plus slack
     assert n8 - n4 <= (n4 - 16) + 32
+
+
+def test_decompress_accepts_ans_dict_full_batch():
+    """decompress(ans) must decode the FULL packed batch — forgetting
+    batch_size on a packed stream used to silently decode only item 0."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mmnc_tpu.models import build_model
+
+    m = build_model(2, ["mono"], latent_channels=8, conv_channels=4)
+    batch = m.example_batch(batch_size=3, image_size=256)
+    batch = {t: jnp.asarray(v) for t, v in batch.items()}
+    v = m.init(jax.random.PRNGKey(0), batch)
+    tables = m.update_bottleneck_values(v)
+    ans, _ = m.compress(v, tables, batch)
+    x_dict = m.decompress(v, tables, ans)
+    x_args = m.decompress(v, tables, ans["strings"], ans["shape"],
+                          y_shape=ans.get("y_shape"),
+                          batch_size=ans.get("batch_size"))
+    fw, _ = m.forward(v, batch, training=False)
+    for t in m.tasks:
+        assert x_dict[t].shape[0] == 3
+        np.testing.assert_array_equal(np.asarray(x_dict[t]),
+                                      np.asarray(x_args[t]))
+        np.testing.assert_array_equal(np.asarray(x_dict[t]),
+                                      np.asarray(fw[t]))
