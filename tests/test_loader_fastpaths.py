@@ -62,3 +62,33 @@ def test_loader_not_input_bound_after_prerender():
     n = sum(1 for _ in loader.epoch(0))
     dt = (time.perf_counter() - t0) / n
     assert dt < 0.05, f"vectorized batch fetch took {dt * 1e3:.1f} ms"
+
+
+def test_worker_pool_close_idempotent():
+    from mmnc_tpu.data import BatchLoader, SyntheticMultiTaskDataset
+
+    ds = SyntheticMultiTaskDataset(["mono"], size=4, image_size=32)
+
+    class NoBatch:  # strip get_batch so the worker-pool path runs
+        def __init__(self, inner): self._inner = inner
+        def __len__(self): return len(self._inner)
+        def __getitem__(self, i): return self._inner[i]
+
+    loader = BatchLoader(NoBatch(ds), 2, shuffle=False, num_workers=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2 and loader._pool is not None
+    loader.close()
+    assert loader._pool is None
+    loader.close()  # idempotent
+
+
+def test_prerender_cache_key_distinguishes_data_paths(tmp_path):
+    from mmnc_tpu.data.prerender import _dataset_cache_key
+    from mmnc_tpu.data import SyntheticMultiTaskDataset
+
+    ds = SyntheticMultiTaskDataset(["mono"], size=4, image_size=32)
+    base = _dataset_cache_key(ds)
+    ds.data_path = "/somewhere/else"
+    assert _dataset_cache_key(ds) != base
+    del ds.data_path
+    assert _dataset_cache_key(ds) == base  # path-less keys stay stable
