@@ -87,15 +87,19 @@ def measure_tpu_mps(batch_size=512, image_size=256, iters=8,
             flops = _roundtrip_flops(model, variables, batch)
             util = flops / dt / V5E_PEAK_FLOPS
             return bs * image_size * image_size / 1e6 / dt, bs, util
-        except Exception as e:  # noqa: BLE001 — retry smaller on failure
+        except Exception as e:  # noqa: BLE001 — retry smaller on OOM-shaped
             # OOM surfaces in several shapes on this stack (RESOURCE_EXHAUSTED
             # from the runtime, INTERNAL/HTTP 500 from the remote AOT compiler
-            # when the program exceeds HBM) — any failure at a larger batch is
-            # worth retrying smaller before giving up
-            if bs == sizes[-1]:
+            # when the program exceeds HBM); only those are worth retrying at
+            # a smaller batch — anything else (shape/dtype bugs) surfaces NOW
+            msg = f"{type(e).__name__}: {e}"
+            oom_shaped = any(s in msg for s in (
+                "RESOURCE_EXHAUSTED", "Resource exhausted", "out of memory",
+                "OOM", "INTERNAL", "500", "XlaRuntimeError"))
+            if bs == sizes[-1] or not oom_shaped:
                 raise
-            print(f"batch {bs} failed ({type(e).__name__}: {str(e)[:120]}), "
-                  f"retrying smaller", file=sys.stderr)
+            print(f"batch {bs} failed ({msg[:140]}), retrying smaller",
+                  file=sys.stderr)
     raise RuntimeError("all batch sizes failed")
 
 
@@ -127,6 +131,8 @@ def main():
         "precision": precision,
         "unit": "MP/s",
         "vs_baseline": round(value / baseline, 3) if baseline else None,
+        "vs_baseline_f32": round(value_f32 / baseline, 3) if baseline
+        else None,  # like-for-like precision vs the f32 torch baseline
         "mps_f32": round(value_f32, 3),
         "baseline_mps_torch_cpu": round(baseline, 3) if baseline else None,
         "baseline_nature": "reference-equivalent ScaleHyperprior pipeline "

@@ -110,15 +110,17 @@ def classical_codec_rd(image: np.ndarray, target_bpp: float,
 
 def learned_baseline_rd(checkpoint_paths: Sequence[str], batch=None,
                         batch_size: int = 16, image_size: int = 256,
-                        seed: int = 21) -> List[dict]:
+                        seed: int = 21, n_images: int = 256) -> List[dict]:
     """RD points of trained checkpoints, for overlay on RD plots.
 
     The reference compares its multi-task codecs against a pretrained
     single-task RGB ScaleHyperprior (plots.ipynb cell 5's
-    bmshj2018_hyperprior). No pretrained zoo exists here, so the stand-in
-    baseline is any trained single-task checkpoint (e.g. the rd_paper sweep's
-    single-rgb runs). Each point carries the ACTUAL packed-bitstream bpp and
-    per-task PSNR/MS-SSIM on a held-out batch.
+    bmshj2018_hyperprior, evaluated across the val set). No pretrained zoo
+    exists here, so the stand-in baseline is any trained single-task
+    checkpoint (e.g. the rd_paper sweep's single-rgb runs). Each point
+    carries the ACTUAL packed-bitstream bpp and per-task PSNR/MS-SSIM
+    averaged over `n_images` held-out images (batched by `batch_size`);
+    pass an explicit `batch` to evaluate on exactly that one batch instead.
     """
     from .utils.checkpoint import (rebuild_model_from_checkpoint,
                                    restore_checkpoint)
@@ -137,25 +139,36 @@ def learned_baseline_rd(checkpoint_paths: Sequence[str], batch=None,
 
         if batch is None:
             from .data import SyntheticMultiTaskDataset, BatchLoader
-            ds = SyntheticMultiTaskDataset(model.tasks, size=batch_size,
+            ds = SyntheticMultiTaskDataset(model.tasks, size=n_images,
                                            image_size=image_size,
                                            seed=10 ** 6)
-            eval_batch = next(iter(BatchLoader(ds, batch_size,
-                                               shuffle=False)))
-            eval_batch = jax.tree.map(jnp.asarray, eval_batch)
+            batches = list(BatchLoader(ds, batch_size, shuffle=False))
+            batches = [jax.tree.map(jnp.asarray, b) for b in batches]
         else:
-            eval_batch = {t: jnp.asarray(batch[t]) for t in model.tasks}
+            batches = [{t: jnp.asarray(batch[t]) for t in model.tasks}]
 
-        point = check_bpp(model, variables, tables, eval_batch)
+        # average the RD point over every batch (plots.ipynb cell 5
+        # evaluates its baseline across the val set, not one batch)
+        acc = {}
+        n_seen = 0
+        for eval_batch in batches:
+            bsz = eval_batch[model.tasks[0]].shape[0]
+            p = check_bpp(model, variables, tables, eval_batch)
+            x_hats, _ = model.forward(variables, eval_batch, training=False)
+            for t in model.tasks:
+                p[f"{t}/psnr"] = float(M.psnr(
+                    x_hats[t] * 255.0, eval_batch[t] * 255.0, 255.0))
+                p[f"{t}/ms-ssim"] = float(M.ms_ssim(
+                    x_hats[t] * 255.0, eval_batch[t] * 255.0, 255.0))
+            for k, v in p.items():
+                if isinstance(v, (int, float)):
+                    acc[k] = acc.get(k, 0.0) + float(v) * bsz
+            n_seen += bsz
+        point = {k: v / n_seen for k, v in acc.items()}
         point["bpp"] = point["actual_bpp"]
+        point["n_images"] = n_seen
         point["checkpoint"] = path
         point["lmbda"] = hp.get("lmbda")
-        x_hats, _ = model.forward(variables, eval_batch, training=False)
-        for t in model.tasks:
-            point[f"{t}/psnr"] = float(M.psnr(
-                x_hats[t] * 255.0, eval_batch[t] * 255.0, 255.0))
-            point[f"{t}/ms-ssim"] = float(M.ms_ssim(
-                x_hats[t] * 255.0, eval_batch[t] * 255.0, 255.0))
         points.append(point)
     return points
 

@@ -72,6 +72,10 @@ def parse_args(argv):
                    help="materialize the dataset once to cached .npy and "
                         "serve batches as array slices (default)")
     p.add_argument("--no-prerender", dest="prerender", action="store_false")
+    p.add_argument("--force-prerender", action="store_true",
+                   help="prerender even a split larger than the RAM-safety "
+                        "gate would allow (the gate auto-skips big splits "
+                        "because --prerender is on by default)")
     p.add_argument("--data-cache-dir",
                    default=os.environ.get("MMNC_DATA_CACHE",
                                           "data/prerendered"))
@@ -103,10 +107,11 @@ def get_loaders(args):
         # at CLEVR scale (50k x 256px) that is tens of GB — stream instead
         # unless the user insists via --prerender on a smaller subset
         n_px = len(train) * args.image_size * args.image_size
-        if n_px > 20_000 * 256 * 256:
+        if n_px > 20_000 * 256 * 256 and not getattr(
+                args, "force_prerender", False):
             print(f"prerender skipped: split of {len(train)} samples is too "
                   f"large to materialize in RAM; streaming instead "
-                  f"(use --no-prerender to silence)")
+                  f"(pass --force-prerender to materialize it anyway)")
         else:
             from ..data.prerender import prerender
             cache = getattr(args, "data_cache_dir", None)

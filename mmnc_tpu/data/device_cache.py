@@ -27,16 +27,16 @@ import jax.numpy as jnp
 _QUANT_LEVELS = 65535.0
 
 
-@partial(jax.jit, static_argnums=1)
-def _quantize_u16(x, scale):
-    return jnp.round(
-        jnp.clip(x, 0.0, scale) * (_QUANT_LEVELS / scale)).astype(jnp.uint16)
+@partial(jax.jit, static_argnums=(1, 2))
+def _quantize_u16(x, lo, hi):
+    return jnp.round(jnp.clip(x, lo, hi) * (_QUANT_LEVELS / (hi - lo))
+                     - lo * (_QUANT_LEVELS / (hi - lo))).astype(jnp.uint16)
 
 
-@partial(jax.jit, static_argnums=2)
-def _gather_dequant_u16(arr, idx, scale):
+@partial(jax.jit, static_argnums=(2, 3))
+def _gather_dequant_u16(arr, idx, lo, hi):
     return jnp.take(arr, idx, axis=0).astype(jnp.float32) * (
-        scale / _QUANT_LEVELS)
+        (hi - lo) / _QUANT_LEVELS) + lo
 
 
 @jax.jit
@@ -51,11 +51,12 @@ class DeviceResidentDataset:
     by an on-device gather — BatchLoader uses it via its get_batch fast
     path, and prefetch_to_device's device_put is a no-op on the results.
 
-    quantize=True stores uint16 over [0, scale] with a per-task scale =
-    max(1.0, ceil(task max)) — so [0,1] image data keeps the full 16-bit
-    grid (below the 8/16-bit source precision of the CLEVR contract) and
-    out-of-[0,1] tasks (e.g. semantic class ids 0..16) are NOT clipped;
-    quantize=False stores the arrays as-is (fp32).
+    quantize=True stores uint16 over a per-task affine range
+    [min(0, floor(task min)), max(1, ceil(task max))] — so [0,1] image data
+    keeps the full 16-bit grid (below the 8/16-bit source precision of the
+    CLEVR contract) and out-of-[0,1] tasks on EITHER side (semantic class
+    ids 0..16, signed [-1,1] normals) are NOT clipped; quantize=False
+    stores the arrays as-is (fp32).
     """
 
     # loaders/loops use this to skip host-side prefetch queues (each queued
@@ -74,11 +75,14 @@ class DeviceResidentDataset:
         for t, a in arrays.items():
             x = jax.device_put(a, device)
             if quantize and np.issubdtype(np.asarray(a).dtype, np.floating):
-                # per-task range so values beyond [0,1] survive quantization
-                scale = float(max(1.0, np.ceil(float(
+                # per-task AFFINE range so values beyond [0,1] — on either
+                # side (signed normals, class ids) — survive quantization
+                hi = float(max(1.0, np.ceil(float(
                     jax.device_get(jnp.max(x))))))
-                self._scales[t] = scale
-                x = _quantize_u16(x, scale)
+                lo = float(min(0.0, np.floor(float(
+                    jax.device_get(jnp.min(x))))))
+                self._scales[t] = (lo, hi)
+                x = _quantize_u16(x, lo, hi)
                 jax.block_until_ready(x)
                 # drop the fp32 upload before staging the next task
                 self._dev[t] = x
@@ -104,7 +108,8 @@ class DeviceResidentDataset:
         for t in self.tasks:
             a = self._dev[t]
             if a.dtype == jnp.uint16:
-                out[t] = _gather_dequant_u16(a, idx, self._scales[t])
+                lo, hi = self._scales[t]
+                out[t] = _gather_dequant_u16(a, idx, lo, hi)
             else:
                 out[t] = _gather(a, idx)
         return out

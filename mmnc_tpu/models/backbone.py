@@ -21,7 +21,11 @@ the synthesis transform as the disjoint/shared variants do
 Geometry: `legacy_broadcast=True` (default) reproduces the as-built
 reference behavior where h_s's output spatial dims can exceed y's and the
 Gaussian likelihood broadcasts (SURVEY.md §2.4 "critical geometry quirk").
-`False` center-crops scales to y's spatial shape — the corrected layout.
+`False` corner-crops scales (top-left `[:, :Hy, :Wy, :]`) to y's spatial
+shape — the corrected layout. NOTE: it is a CORNER crop, not a center
+crop, and `_compress_device` uses the SAME corner crop, so encode and
+decode agree and streams stay bit-exact; do not "fix" one side to a
+center crop without the other (codecs.py:363, _scales_for below).
 """
 
 from typing import Any

@@ -202,14 +202,19 @@ def fit(
                 logger.log(int(state.step), last_val_logs)
 
                 if log_images:
-                    batch = next(iter(val_loader.epoch(0)))
-                    x_hats, _ = model.forward(
-                        {"params": state.params},
-                        jax.tree.map(jax.numpy.asarray, batch),
-                        training=False)
-                    save_image_grid(
-                        os.path.join(run_dir, f"samples_epoch{epoch}"),
-                        jax.tree.map(np.asarray, x_hats), batch)
+                    # one val batch AND one train batch per val epoch, as
+                    # the reference callback does (src/callbacks.py:51-62)
+                    for split, loader in (("val", val_loader),
+                                          ("train", train_loader)):
+                        batch = next(iter(loader.epoch(0)))
+                        x_hats, _ = model.forward(
+                            {"params": state.params},
+                            jax.tree.map(jax.numpy.asarray, batch),
+                            training=False)
+                        save_image_grid(
+                            os.path.join(run_dir,
+                                         f"samples_epoch{epoch}_{split}"),
+                            jax.tree.map(np.asarray, x_hats), batch)
 
             if ((epoch + 1) % checkpoint_every_epochs == 0
                     or epoch == epochs - 1 or done):

@@ -37,14 +37,19 @@ from mmnc_tpu.models import build_model
 from mmnc_tpu.train.loop import fit
 
 TASKS = ["rgb", "depth_euclidean", "normal"]
+TASKS4 = TASKS + ["semantic"]
 LMBDAS = [0.1, 0.01, 0.001]
 
-# (run-kind, model number, tasks, M, C) — paper §IV-B configs
+# (run-kind, model number, tasks, M, C) — paper §IV-B configs, plus the
+# semantic-bearing rows (paper evaluates bpp vs mIoU; reference assembles
+# the 4-task set at src/train.py:243-253) so rate-vs-mIoU can be plotted
 CONFIGS = (
     [("mixed", 2, TASKS, 300, 32),
      ("shared", 4, TASKS, 300, 42),
      ("disjoint", 3, TASKS, 300, 42)]
     + [(f"single-{t}", 1, [t], 100, 48) for t in TASKS]
+    + [("shared4", 4, TASKS4, 300, 42),
+       ("single-semantic", 1, ["semantic"], 100, 48)]
 )
 
 
@@ -61,6 +66,11 @@ def parse_args(argv):
     p.add_argument("--run-dir", default="runs/rd_paper")
     p.add_argument("--only", default=None,
                    help="comma-separated run-kind filter (e.g. 'mixed,shared')")
+    p.add_argument("--lmbdas", default=None,
+                   help="comma-separated lambda filter (default: all of "
+                        f"{LMBDAS})")
+    p.add_argument("--val-every-epochs", type=int, default=10)
+    p.add_argument("--checkpoint-every-epochs", type=int, default=10)
     p.add_argument("--extend", action="store_true",
                    help="re-horizon the LR schedule when --steps exceeds a "
                         "finished run's horizon (warm-restart extension)")
@@ -88,6 +98,13 @@ def rd_eval(model, state, val_loader):
     x_hats, _ = model.forward(variables, batch, training=False)
     point = dict(bpp)
     for t in model.tasks:
+        if t == "semantic":
+            # 17-logit head -> label map; the paper's semantic RD metric is
+            # mIoU (BASELINE.md north-star "bpp vs PSNR/mIoU")
+            from mmnc_tpu.ops.metrics import miou
+            pred = jnp.argmax(x_hats[t], axis=-1)
+            point[f"{t}/miou"] = float(miou(pred, batch[t][..., 0]))
+            continue
         mse255 = float(jnp.mean(
             (x_hats[t] - batch[t]) ** 2)) * 255.0 ** 2
         point[f"{t}/mse255"] = mse255
@@ -104,6 +121,11 @@ def main(argv=None):
         with open(args.out) as f:
             done = {p["run"]: p for p in json.load(f)}
 
+    only = set(args.only.split(",")) if args.only else None
+    need_semantic = any(
+        "semantic" in tasks for kind, _, tasks, _, _ in CONFIGS
+        if only is None or kind in only)
+
     print("prerendering dataset ...")
     full_train = prerender(SyntheticMultiTaskDataset(
         TASKS, size=args.train_size, image_size=args.image_size, seed=0),
@@ -111,6 +133,21 @@ def main(argv=None):
     full_val = prerender(SyntheticMultiTaskDataset(
         TASKS, size=args.val_size, image_size=args.image_size, seed=10 ** 6),
         "data/prerendered")
+    if need_semantic:
+        # semantic rides a separate 1-task prerender (same seed => identical
+        # scenes, the renderer derives every modality from one per-index rng)
+        # so the big 3-task cache from earlier rounds stays a cache hit
+        sem_train = prerender(SyntheticMultiTaskDataset(
+            ["semantic"], size=args.train_size, image_size=args.image_size,
+            seed=0), "data/prerendered")
+        sem_val = prerender(SyntheticMultiTaskDataset(
+            ["semantic"], size=args.val_size, image_size=args.image_size,
+            seed=10 ** 6), "data/prerendered")
+        full_train = type(full_train)(
+            {**full_train.arrays, "semantic": sem_train.arrays["semantic"]})
+        full_val = type(full_val)(
+            {**full_val.arrays, "semantic": sem_val.arrays["semantic"]})
+        del sem_train, sem_val
     # one HBM-resident uint16 cache shared by every run: the host on this
     # box needs ~2.5 s per fancy-indexed batch vs ~124 ms per train step,
     # so batches must be gathered on-device (see data/device_cache.py)
@@ -121,12 +158,13 @@ def main(argv=None):
     del full_train, full_val
     print(f"  uploaded in {time.time() - t0:.0f}s")
 
-    only = set(args.only.split(",")) if args.only else None
+    lmbdas = ([float(x) for x in args.lmbdas.split(",")]
+              if args.lmbdas else LMBDAS)
     points = list(done.values())
     for kind, model_num, tasks, m_lat, conv in CONFIGS:
         if only and kind not in only:
             continue
-        for lmbda in LMBDAS:
+        for lmbda in lmbdas:
             run = f"{kind}-l{lmbda:g}"
             if run in done and not args.refresh:
                 print(f"skip {run} (already in {args.out})")
@@ -152,10 +190,19 @@ def main(argv=None):
                     resume=True, compute_metrics=True, train_metrics=False,
                     log_images=False, max_steps=args.steps,
                     steps_per_call=spc, log_every=50,
-                    val_every_epochs=10, extend_schedule=args.extend,
-                    checkpoint_every_epochs=10)
+                    val_every_epochs=args.val_every_epochs,
+                    extend_schedule=args.extend,
+                    checkpoint_every_epochs=args.checkpoint_every_epochs)
             except Exception as e:  # noqa: BLE001 — skip, keep sweeping
                 print(f"!!! {run} failed: {type(e).__name__}: {e}")
+                if run in done:
+                    # tag the surviving pre-refresh point so downstream
+                    # plots can tell it from a fresh result (round-2 advisor)
+                    done[run]["stale"] = True
+                    done[run]["refresh_error"] = f"{type(e).__name__}: {e}"
+                    points = list(done.values())
+                    with open(args.out, "w") as f:
+                        json.dump(points, f, indent=2)
                 continue
 
             point = {"run": run, "kind": kind, "model": model_num,
@@ -171,6 +218,7 @@ def main(argv=None):
                 point.update(rd_eval(model, state, val_loader))
             except Exception as e:  # noqa: BLE001 — keep the training point
                 print(f"!!! {run} rd_eval failed: {type(e).__name__}: {e}")
+                point["rd_eval_error"] = f"{type(e).__name__}: {e}"
             del state
             done[run] = point
             points = list(done.values())  # replaces the old point on refresh

@@ -51,8 +51,14 @@ def main(argv=None):
     full_val = prerender(SyntheticMultiTaskDataset(
         ["rgb", "depth_euclidean", "normal"], size=args.val_size,
         image_size=256, seed=10 ** 6), "data/prerendered")
-    dev_val = DeviceResidentDataset(full_val.arrays)
-    del full_val
+    # semantic rides its own 1-task prerender (same seed => same scenes)
+    # so the 3-task cache from earlier rounds stays valid
+    sem_val = prerender(SyntheticMultiTaskDataset(
+        ["semantic"], size=args.val_size, image_size=256, seed=10 ** 6),
+        "data/prerendered")
+    dev_val = DeviceResidentDataset(
+        {**full_val.arrays, "semantic": sem_val.arrays["semantic"]})
+    del full_val, sem_val
 
     points = []
     for run_dir in sorted(glob.glob(os.path.join(args.run_dir, "*"))):
@@ -91,6 +97,16 @@ def main(argv=None):
             acc.setdefault("est_legacy", []).append(float(est))
             acc.setdefault("est_corrected", []).append(float(est_c))
             for t in model.tasks:
+                if t == "semantic":
+                    # paper metric is rate vs mIoU (BASELINE.md); the
+                    # reference also logs argmaxed PSNR at data_range 17
+                    # (multi_task_compressor.py:359-384)
+                    pred = jnp.argmax(x_hats[t], axis=-1)
+                    acc.setdefault(f"{t}/miou", []).append(
+                        float(M.miou(pred, batch[t][..., 0])))
+                    acc.setdefault(f"{t}/psnr", []).append(float(M.psnr(
+                        pred[..., None].astype(jnp.float32), batch[t], 17.0)))
+                    continue
                 mse255 = float(jnp.mean((x_hats[t] - batch[t]) ** 2)) * 255.0 ** 2
                 acc.setdefault(f"{t}/mse255", []).append(mse255)
                 acc.setdefault(f"{t}/psnr", []).append(

@@ -71,3 +71,14 @@ def test_out_of_unit_range_tasks_survive_quantization():
     got = np.asarray(ds.get_batch([0, 1, 2, 3])["semantic"])
     np.testing.assert_allclose(got, sem, atol=16.0 * 0.5 / 65535 + 1e-6)
     assert got.max() > 1.5  # clipping would have collapsed everything to 1
+
+
+def test_signed_data_survives_quantization():
+    """Signed values (e.g. [-1,1]-convention normals) must quantize over a
+    per-task affine range, not be zeroed below 0 (round-2 advisor finding)."""
+    rng = np.random.default_rng(7)
+    signed = (rng.random((4, 8, 8, 3), np.float32) * 2.0 - 1.0)
+    ds = DeviceResidentDataset({"normal": signed})
+    got = np.asarray(ds.get_batch([0, 1, 2, 3])["normal"])
+    np.testing.assert_allclose(got, signed, atol=2.0 * 0.5 / 65535 + 1e-6)
+    assert got.min() < -0.5  # clipping at 0 would have erased the negatives
