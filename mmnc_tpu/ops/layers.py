@@ -59,13 +59,9 @@ def conv(x, w, stride: int = 2):
     )
 
 
-def deconv(x, w, stride: int = 2):
-    """Transposed conv, torch geometry (padding k//2, output_padding stride-1).
-
-    Implemented as cross-correlation over the s-dilated input with padding
-    (k-1-p) on the leading edge and (k-1-p+op) on the trailing edge. For even
-    inputs this exactly doubles H and W when stride=2 (incl. H=1 -> 2).
-    """
+def _deconv_dilated(x, w, stride: int = 2):
+    """Transposed conv as cross-correlation over the s-dilated input with
+    padding (k-1-p) leading / (k-1-p+op) trailing."""
     k = w.shape[0]
     p = k // 2
     op = stride - 1
@@ -77,6 +73,55 @@ def deconv(x, w, stride: int = 2):
         lhs_dilation=(stride, stride), dimension_numbers=_DN,
         precision=_conv_precision(x.dtype),
     )
+
+
+def _deconv_phase_k5s2(x, w):
+    """k5/s2 transposed conv as 4 DENSE phase convs + sub-pixel interleave.
+
+    Same math as `_deconv_dilated` (same taps hit the same inputs; only the
+    float summation order can differ), but the MXU never sees the dilated
+    zeros: output phase (rh, rw) with rh,rw in {0,1} is
+        out[2m+rh, 2n+rw] = conv(x, w[taps(rh), taps(rw)])
+    where taps(0) = w[0::2] over a (m-1..m+1) window (pad 1,1) and
+    taps(1) = w[1::2] over (m..m+1) (pad 0,1) — derived by splitting
+    out[o] = sum_t w[t]*dilated[o-2+t] by the parity of o. Valid for any
+    input H,W >= 1 (incl. the saturated 1x1 latents: 1 -> 2).
+    """
+    prec = _conv_precision(x.dtype)
+
+    def phase(rh, rw):
+        kern = w[rh::2, rw::2]
+        pad_h = (0, 1) if rh else (1, 1)
+        pad_w = (0, 1) if rw else (1, 1)
+        return jax.lax.conv_general_dilated(
+            x, kern, window_strides=(1, 1), padding=[pad_h, pad_w],
+            dimension_numbers=_DN, precision=prec)
+
+    p00, p01, p10, p11 = (phase(0, 0), phase(0, 1), phase(1, 0), phase(1, 1))
+    b, h, wd, c = p00.shape
+    row0 = jnp.stack([p00, p01], axis=3)          # (B,H,W,2,C)
+    row1 = jnp.stack([p10, p11], axis=3)
+    y = jnp.stack([row0, row1], axis=2)           # (B,H,2,W,2,C)
+    return y.reshape(b, 2 * h, 2 * wd, c)
+
+
+# Deconv lowering: "phase" feeds the MXU 4 dense phase convs (the dilated
+# form makes the MXU contract over the interleaved zeros); "dilated" is the
+# single conv_general_dilated call. k != 5 or stride != 2 always takes the
+# dilated path. Default set by measurement (scripts/measure_deconv_igdn.py).
+_DECONV_IMPL = os.environ.get("MMNC_DECONV_IMPL", "dilated").lower()
+
+
+def deconv(x, w, stride: int = 2):
+    """Transposed conv, torch geometry (padding k//2, output_padding stride-1).
+
+    For even inputs this exactly doubles H and W when stride=2 (incl.
+    H=1 -> 2). k5/s2 (the only shape the codecs use) takes the dense
+    phase-decomposed path unless MMNC_DECONV_IMPL=dilated.
+    """
+    if _DECONV_IMPL == "phase" and stride == 2 and w.shape[0] == 5:
+        return _deconv_phase_k5s2(x, w)
+    return _deconv_dilated(x, w, stride)
 
 
 # torch Conv2d default init scale (kaiming-uniform, a=sqrt(5) -> variance

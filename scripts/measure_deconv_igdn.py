@@ -20,6 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from mmnc_tpu.ops import layers
 from mmnc_tpu.ops.layers import deconv
 from mmnc_tpu.ops.deconv_igdn_pallas import deconv_igdn_pallas
 
@@ -62,6 +63,28 @@ def bench_one(bsz, h, w_, cin, cout, iters=20):
     return out
 
 
+def bench_deconv_impls(bsz, h, w_, cin, cout, iters=30, dtype=jnp.float32):
+    """A/B the two deconv lowerings (dilated conv vs dense 4-phase)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(bsz, h, w_, cin)), dtype)
+    w = jnp.asarray(rng.normal(size=(5, 5, cin, cout)) * 0.1, dtype)
+    f_dil = jax.jit(lambda a, b: layers._deconv_dilated(a, b, 2))
+    f_ph = jax.jit(layers._deconv_phase_k5s2)
+    out = {}
+    for name, fn in [("dilated_ms", f_dil), ("phase_ms", f_ph)]:
+        r = fn(x, w)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(x, w)
+        jax.block_until_ready(r)
+        out[name] = (time.perf_counter() - t0) / iters * 1e3
+    np.testing.assert_allclose(np.asarray(f_ph(x, w)),
+                               np.asarray(f_dil(x, w)), rtol=2e-2, atol=2e-3)
+    out["speedup_phase"] = round(out["dilated_ms"] / out["phase_ms"], 3)
+    return out
+
+
 def main():
     # decoder-realistic stages: (B, H, W, Cin, Cout)
     shapes = [
@@ -71,11 +94,17 @@ def main():
         (64, 8, 8, 300, 150),     # flagship g_s-equivalent first stage
         (256, 32, 32, 64, 64),    # generic large-batch mid stage
     ]
-    report = {"device": str(jax.devices()[0]), "shapes": {}}
+    report = {"device": str(jax.devices()[0]), "shapes": {},
+              "deconv_impls": {}}
     for s in shapes:
         key = "x".join(map(str, s))
         report["shapes"][key] = bench_one(*s)
         print(key, report["shapes"][key])
+        try:
+            report["deconv_impls"][key] = bench_deconv_impls(*s)
+        except Exception as e:  # noqa: BLE001 — record, keep measuring
+            report["deconv_impls"][key] = f"FAILED: {type(e).__name__}"
+        print("  impls:", report["deconv_impls"][key])
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/deconv_igdn_timing.json", "w") as f:
         json.dump(report, f, indent=2)
