@@ -84,6 +84,11 @@ def main(argv=None):
     ap.add_argument("--baseline", default="artifacts/learned_baseline_rd.json",
                     help="learned-baseline overlay points (plots.ipynb "
                          "cell 5 analog); skipped if missing")
+    ap.add_argument("--min-steps", type=int, default=0,
+                    help="drop runs below this training budget — mixing "
+                         "budgets makes curves spuriously non-monotone "
+                         "(an undertrained middle lambda dips below both "
+                         "neighbors)")
     args = ap.parse_args(argv)
 
     import matplotlib
@@ -91,6 +96,9 @@ def main(argv=None):
     import matplotlib.pyplot as plt
 
     points = load_points(args.inp)
+    if args.min_steps:
+        points = [p for p in points
+                  if p.get("steps", 10 ** 9) >= args.min_steps]
     tasks = sorted({t for p in points for t in p.get("tasks", [])})
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -99,7 +107,10 @@ def main(argv=None):
         with open(args.baseline) as f:
             baseline_pts = json.load(f)
 
-    summary = {"bpp_key": args.bpp_key, "tasks": {}, "ordering": {}}
+    summary = {"bpp_key": args.bpp_key, "min_steps": args.min_steps,
+               "run_budgets": {p["run"]: p.get("steps") for p in points
+                               if "run" in p},
+               "tasks": {}, "ordering": {}}
 
     for task in tasks:
         curves = curves_by_kind(points, task, args.bpp_key)

@@ -65,3 +65,53 @@ def test_end_to_end_ordering_and_artifacts(sweep_points, tmp_path):
         assert (out / f"rd_{task}.png").exists()
         mono = summary["tasks"][task]
         assert all(c["monotone_fraction"] == 1.0 for c in mono.values())
+
+
+def test_out_of_range_matched_samples_are_skipped(tmp_path):
+    """A multi-task curve that doesn't span a single model's bpp must not
+    be scored with endpoint extrapolation (round-2 advisor): the sample is
+    dropped for every kind and counted in the summary."""
+    pts = []
+    for lmbda, bpp in [(0.1, 0.2), (0.001, 0.1)]:
+        pts.append({"run": f"mixed-l{lmbda}", "kind": "mixed",
+                    "lmbda": lmbda, "tasks": ["rgb"], "actual_bpp": bpp,
+                    "rgb/psnr": 30 + 10 * bpp, "rgb/mse255": 1.0})
+    # single point far below mixed's bpp range -> out of range
+    pts.append({"run": "single-rgb-l0.001", "kind": "single-rgb",
+                "lmbda": 0.001, "tasks": ["rgb"], "actual_bpp": 0.01,
+                "rgb/psnr": 20.0, "rgb/mse255": 1.0})
+    path = tmp_path / "pts.json"
+    path.write_text(json.dumps(pts))
+    out = tmp_path / "plots"
+    rd_plots.main(["--in", str(path), "--out-dir", str(out)])
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["ordering"]["n_samples_skipped_out_of_range"] == 1
+    assert summary["ordering"]["n_matched_samples"] == 0
+    # and a 2-family ranking can never claim the paper's 4-family match
+    assert summary["ordering"]["matches_paper"] is False
+    assert "kinds_missing" in summary["ordering"]
+
+
+def test_min_steps_filters_mixed_budget_runs(sweep_points, tmp_path):
+    pts = json.loads(open(sweep_points).read())
+    for p in pts:
+        p["steps"] = 40000 if p["lmbda"] != 0.01 else 2500
+    path = tmp_path / "pts2.json"
+    path.write_text(json.dumps(pts))
+    out = tmp_path / "plots2"
+    rd_plots.main(["--in", str(path), "--out-dir", str(out),
+                   "--min-steps", "10000"])
+    summary = json.loads((out / "summary.json").read_text())
+    assert all(v >= 10000 for v in summary["run_budgets"].values())
+    assert summary["min_steps"] == 10000
+
+
+def test_stale_points_are_excluded(tmp_path):
+    pts = [{"run": "mixed-l0.1", "kind": "mixed", "lmbda": 0.1,
+            "tasks": ["rgb"], "actual_bpp": 0.2, "rgb/psnr": 31.0,
+            "rgb/mse255": 1.0},
+           {"run": "mixed-l0.001", "kind": "mixed", "lmbda": 0.001,
+            "tasks": ["rgb"], "actual_bpp": 0.05, "rgb/psnr": 28.0,
+            "rgb/mse255": 1.0, "stale": True}]
+    curves = rd_plots.curves_by_kind(pts, "rgb")
+    assert len(curves["mixed"]) == 1  # the stale point stays out
