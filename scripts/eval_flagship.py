@@ -77,6 +77,15 @@ def main(ckpt_path: str, out_path: str):
     logs = jax.device_get(make_eval_step(model)(variables["params"], batch))
     summary["val_metrics"] = {k: float(v) for k, v in logs.items()}
 
+    # 5. qualitative sample grids next to the summary (the reference's
+    # image-logging callback equivalent for the flagship row)
+    from mmnc_tpu.utils.logging import save_image_grid
+    x_hats, _ = model.forward(variables, batch, training=False)
+    grid_dir = os.path.join(os.path.dirname(out_path) or ".",
+                            "flagship_samples_r3")
+    save_image_grid(grid_dir, jax.tree.map(np.asarray, x_hats), batch)
+    summary["sample_grids"] = grid_dir
+
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({k: v for k, v in summary.items()

@@ -85,6 +85,60 @@ def bench_deconv_impls(bsz, h, w_, cin, cout, iters=30, dtype=jnp.float32):
     return out
 
 
+def bench_anomaly_chain(iters=5):
+    """Reproduce round-2 NOTES #5: a standalone jitted deconv+IGDN chain at
+    64-128px reportedly ran in SECONDS while the same layers inside the
+    fused synthesize program took ms. Times (a) each chain standalone,
+    (b) the equivalent whole-decoder jit, (c) the model's actual
+    _decompress_synthesize — all at the bench config — and records
+    compile time separately from steady-state (the prime suspect: earlier
+    timings folded remote-AOT compile or queue stalls into the first call).
+    """
+    from mmnc_tpu.models import build_model
+    rng = np.random.default_rng(0)
+    out = {}
+
+    def timed_split(fn, *args):
+        t0 = time.perf_counter()
+        r = fn(*args)
+        jax.block_until_ready(r)
+        first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(*args)
+        jax.block_until_ready(r)
+        return {"first_call_s": round(first, 3),
+                "steady_ms": round((time.perf_counter() - t0) / iters * 1e3,
+                                   3)}
+
+    # (a) standalone 2-stage deconv+IGDN chains at the suspect sizes
+    for h, cin in [(64, 50), (128, 50)]:
+        x = jnp.asarray(rng.normal(size=(64, h, h, cin)), jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(5, 5, cin, cin)) * 0.05, jnp.float32)
+        g = jnp.asarray(rng.random((cin, cin)) * 0.1, jnp.float32)
+        bt = jnp.asarray(1 + rng.random((cin,)), jnp.float32)
+
+        def chain(x, w1=w1, g=g, bt=bt):
+            y = deconv(x, w1, stride=2)
+            n = jnp.einsum("bhwc,oc->bhwo", y * y, g) + bt
+            y = y * jnp.sqrt(n)
+            y = deconv(y, w1, stride=2)
+            n = jnp.einsum("bhwc,oc->bhwo", y * y, g) + bt
+            return y * jnp.sqrt(n)
+
+        out[f"standalone_chain_{h}px"] = timed_split(jax.jit(chain), x)
+
+    # (c) the model's fused synthesize program at the bench config
+    model = build_model(1, ["rgb"], latent_channels=128, conv_channels=100,
+                        lmbda=1e-2)
+    batch = {"rgb": jnp.asarray(rng.random((64, 256, 256, 3), np.float32))}
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    y_hat = jnp.zeros((64, 1, 1, 128), jnp.float32)
+    out["fused_synthesize_64"] = timed_split(
+        lambda v, y: model._decompress_synthesize(v, y), variables, y_hat)
+    return out
+
+
 def main():
     # decoder-realistic stages: (B, H, W, Cin, Cout)
     shapes = [
@@ -105,6 +159,11 @@ def main():
         except Exception as e:  # noqa: BLE001 — record, keep measuring
             report["deconv_impls"][key] = f"FAILED: {type(e).__name__}"
         print("  impls:", report["deconv_impls"][key])
+    try:
+        report["anomaly_chain"] = bench_anomaly_chain()
+        print("anomaly_chain:", report["anomaly_chain"])
+    except Exception as e:  # noqa: BLE001
+        report["anomaly_chain"] = f"FAILED: {type(e).__name__}"
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/deconv_igdn_timing.json", "w") as f:
         json.dump(report, f, indent=2)

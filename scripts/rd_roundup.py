@@ -25,10 +25,12 @@ def main(argv=None):
     ap.add_argument("--run-dir", default="runs/rd_paper")
     ap.add_argument("--in", dest="inp", default="artifacts/rd_paper.json")
     ap.add_argument("--out-dir", default="artifacts/rd_paper_plots")
+    ap.add_argument("--min-steps", type=int, default=0)
     args = ap.parse_args(argv)
 
     from scripts import rd_plots
-    rd_plots.main(["--in", args.inp, "--out-dir", args.out_dir])
+    rd_plots.main(["--in", args.inp, "--out-dir", args.out_dir,
+                   "--min-steps", str(args.min_steps)])
 
     from mmnc_tpu import analysis
     ckpts = []
