@@ -26,10 +26,19 @@ import jax
 import jax.numpy as jnp
 
 
-def latest_ckpt(run_dir):
+def latest_ckpt(run_dir, at_step=None):
+    """Latest checkpoint, or with `at_step` the one closest to that step —
+    checkpoints accumulate every N epochs, so a fixed-budget comparison
+    across families (they train to different final steps) stays possible."""
     steps = sorted(glob.glob(os.path.join(run_dir, "checkpoints", "step_*")),
                    key=lambda p: int(p.rsplit("_", 1)[1]))
-    return (steps[-1], int(steps[-1].rsplit("_", 1)[1])) if steps else (None, 0)
+    if not steps:
+        return None, 0
+    if at_step is not None:
+        best = min(steps, key=lambda p: abs(int(p.rsplit("_", 1)[1])
+                                            - at_step))
+        return best, int(best.rsplit("_", 1)[1])
+    return steps[-1], int(steps[-1].rsplit("_", 1)[1])
 
 
 def main(argv=None):
@@ -38,6 +47,10 @@ def main(argv=None):
     ap.add_argument("--val-size", type=int, default=256)
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--out", default="artifacts/rd_paper_eval.json")
+    ap.add_argument("--at-step", type=int, default=None,
+                    help="evaluate the checkpoint closest to this step "
+                         "instead of the latest (budget-matched ranking "
+                         "across families that trained to different steps)")
     args = ap.parse_args(argv)
 
     from mmnc_tpu import analysis
@@ -63,7 +76,7 @@ def main(argv=None):
     points = []
     for run_dir in sorted(glob.glob(os.path.join(args.run_dir, "*"))):
         run = os.path.basename(run_dir)
-        ckpt, step = latest_ckpt(run_dir)
+        ckpt, step = latest_ckpt(run_dir, args.at_step)
         if ckpt is None:
             continue
         t0 = time.time()
