@@ -50,21 +50,31 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32)]
 
-        lib.mmnc_rans_encode_with_indexes.restype = ctypes.c_int64
-        lib.mmnc_rans_encode_with_indexes.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        def _enc(name, sym_t, idx_t):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.POINTER(sym_t), ctypes.POINTER(idx_t), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
 
-        lib.mmnc_rans_decode_with_indexes.restype = ctypes.c_int32
-        lib.mmnc_rans_decode_with_indexes.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32)]
+        def _dec(name, idx_t, out_t):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int32
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(idx_t), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(out_t)]
+
+        _enc("mmnc_rans_encode_with_indexes", ctypes.c_int32, ctypes.c_int32)
+        _enc("mmnc_rans_encode_i16u8", ctypes.c_int16, ctypes.c_uint8)
+        _enc("mmnc_rans_encode_i16i32", ctypes.c_int16, ctypes.c_int32)
+        _dec("mmnc_rans_decode_with_indexes", ctypes.c_int32, ctypes.c_int32)
+        _dec("mmnc_rans_decode_u8i16", ctypes.c_uint8, ctypes.c_int16)
+        _dec("mmnc_rans_decode_i32i16", ctypes.c_int32, ctypes.c_int16)
         _lib = lib
         return lib
 
@@ -93,20 +103,38 @@ def _prep(table):
     return cdfs, lengths, offsets
 
 
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
 def encode_with_indexes(symbols, indexes, table) -> bytes:
-    """Encode int32 symbols with per-symbol CDF-row indexes -> bytestring."""
+    """Encode integer symbols with per-symbol CDF-row indexes -> bytestring.
+
+    Dtype-dispatching: (int16 symbols, uint8|int32 indexes) use the typed
+    native entry points with NO host-side widening — the 1-vCPU host never
+    copies the arrays — and produce bit-identical streams to the int32 path.
+    Anything else is widened to the classic int32/int32 call."""
     lib = _load()
-    symbols = np.ascontiguousarray(symbols, np.int32).ravel()
-    indexes = np.ascontiguousarray(indexes, np.int32).ravel()
+    symbols = np.ascontiguousarray(symbols).ravel()
+    indexes = np.ascontiguousarray(indexes).ravel()
     if symbols.shape != indexes.shape:
         raise ValueError(
             f"symbols/indexes length mismatch: {symbols.shape} vs {indexes.shape}")
+    if symbols.dtype == np.int16 and indexes.dtype == np.uint8:
+        fn, s_t, i_t = lib.mmnc_rans_encode_i16u8, ctypes.c_int16, ctypes.c_uint8
+    elif symbols.dtype == np.int16 and indexes.dtype == np.int32:
+        fn, s_t, i_t = lib.mmnc_rans_encode_i16i32, ctypes.c_int16, ctypes.c_int32
+    else:
+        symbols = symbols.astype(np.int32, copy=False)
+        indexes = indexes.astype(np.int32, copy=False)
+        fn, s_t, i_t = (lib.mmnc_rans_encode_with_indexes,
+                        ctypes.c_int32, ctypes.c_int32)
     cdfs, lengths, offsets = _prep(table)
     # worst case: every symbol escapes with ~64 bypass bits
     capacity = 16 * len(symbols) + 64
     out = np.zeros(capacity, np.uint8)
-    n = lib.mmnc_rans_encode_with_indexes(
-        _i32ptr(symbols), _i32ptr(indexes), len(symbols),
+    n = fn(
+        _ptr(symbols, s_t), _ptr(indexes, i_t), len(symbols),
         _i32ptr(cdfs), cdfs.shape[1], _i32ptr(lengths), _i32ptr(offsets),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), capacity)
     if n < 0:
@@ -114,19 +142,38 @@ def encode_with_indexes(symbols, indexes, table) -> bytes:
     return out[:n].tobytes()
 
 
-def decode_with_indexes(data: bytes, indexes, table) -> np.ndarray:
-    """Decode a bytestring back to int32 symbols (len == len(indexes))."""
+def decode_with_indexes(data: bytes, indexes, table, out_dtype=np.int32
+                        ) -> np.ndarray:
+    """Decode a bytestring back to symbols (len == len(indexes)).
+
+    out_dtype=np.int16 writes narrow symbols directly (for H2D-lean paths);
+    the native layer errors out (-3) if the stream holds an outlier that
+    doesn't fit, so narrowing can never silently corrupt."""
     lib = _load()
-    indexes = np.ascontiguousarray(indexes, np.int32).ravel()
+    indexes = np.ascontiguousarray(indexes).ravel()
+    if indexes.dtype != np.uint8:
+        indexes = indexes.astype(np.int32, copy=False)
+    if out_dtype == np.int16 and indexes.dtype == np.uint8:
+        fn, i_t, o_t = lib.mmnc_rans_decode_u8i16, ctypes.c_uint8, ctypes.c_int16
+    elif out_dtype == np.int16:
+        fn, i_t, o_t = lib.mmnc_rans_decode_i32i16, ctypes.c_int32, ctypes.c_int16
+    else:
+        if indexes.dtype == np.uint8:
+            indexes = indexes.astype(np.int32)
+        fn, i_t, o_t = (lib.mmnc_rans_decode_with_indexes,
+                        ctypes.c_int32, ctypes.c_int32)
     cdfs, lengths, offsets = _prep(table)
     buf = np.frombuffer(data, np.uint8)
     buf = np.ascontiguousarray(buf)
-    out = np.zeros(len(indexes), np.int32)
-    rc = lib.mmnc_rans_decode_with_indexes(
+    out = np.zeros(len(indexes), out_dtype)
+    rc = fn(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
-        _i32ptr(indexes), len(indexes),
+        _ptr(indexes, i_t), len(indexes),
         _i32ptr(cdfs), cdfs.shape[1], _i32ptr(lengths), _i32ptr(offsets),
-        _i32ptr(out))
+        _ptr(out, o_t))
+    if rc == -3:
+        raise OverflowError(
+            "rANS decode: stream symbol does not fit the requested int16 output")
     if rc != 0:
         raise RuntimeError(f"rANS decode failed with code {rc}")
     return out

@@ -365,6 +365,40 @@ class MultiTaskCompressorBase:
         y_sym = jnp.round(y).astype(jnp.int32)
         return y_sym, z_sym.astype(jnp.int32), indexes
 
+    @partial(jax.jit, static_argnums=0)
+    def _compress_device_lean(self, variables, batch):
+        """Transfer-lean compress program for the streaming pipeline
+        (models/streaming.py): g_a + h_a + quantize ONLY — no h_s and no
+        build_indexes, because the pipeline recomputes y's CDF-row indexes
+        from the *decoded* z on device (_decompress_indexes), exactly as the
+        real decoder does, so shipping them from the encoder is redundant.
+        Symbols cross the slow host link as int16 (half of int32); max_abs
+        guards the narrowing — the caller must fall back to
+        _compress_device when it reaches 2^15."""
+        y, z = self.net.apply(variables, batch,
+                              method=MultiTaskCodecNet.analyze)
+        medians = self.net.apply(variables,
+                                 method=MultiTaskCodecNet.eb_medians)
+        z_sym = jnp.round(z - medians[None, None, None, :])
+        y_sym = jnp.round(y)
+        max_abs = jnp.maximum(jnp.max(jnp.abs(y_sym)),
+                              jnp.max(jnp.abs(z_sym))).astype(jnp.int32)
+        return (y_sym.astype(jnp.int16), z_sym.astype(jnp.int16), max_abs)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _decompress_indexes_u8(self, variables, z_sym, y_shape):
+        """_decompress_indexes with a uint8 result (the Gaussian scale table
+        has 64 rows) — quarters the index D2H on the tunneled host link."""
+        return self._decompress_indexes(
+            variables, z_sym, y_shape).astype(jnp.uint8)
+
+    @partial(jax.jit, static_argnums=0)
+    def _synthesize_from_symbols(self, variables, y_sym):
+        """_decompress_synthesize taking int16 y symbols (== y_hat values):
+        the f32 cast happens on device so the H2D ships 2 bytes/symbol."""
+        return self._decompress_synthesize(
+            variables, y_sym.astype(jnp.float32))
+
     def compress(self, variables, tables: CodecTables, batch,
                  print_info: bool = False, packed: bool = True):
         """-> dict(strings=[y_strings, z_strings], shape, y_shape,

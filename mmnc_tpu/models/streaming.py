@@ -13,12 +13,20 @@ jit), so the compress/decompress pipeline is host-orchestrated. Design:
   synthesis (device);
 * results are yielded in order.
 
-Pipeline stages per batch:
-  A. device: heads+g_a+h_a+quantize+indexes   (_compress_device)
-  B. host:   packed rANS encode y/z, decode z
-  C. device: h_s -> scales -> Gaussian indexes (_decompress_indexes)
-  D. host:   packed rANS decode y
-  E. device: g_s + output heads                (_decompress_synthesize)
+Pipeline stages per batch (transfer-lean layout — the tunneled host link
+runs at ~0.3-1 GB/s, so bytes crossing it are the scarce resource):
+  A. device: heads+g_a+h_a+quantize -> int16 y/z symbols (_compress_device_lean)
+  B. host:   packed rANS encode z, decode z            (int16 native path)
+  C. device: h_s -> scales -> Gaussian indexes as uint8 (_decompress_indexes_u8)
+  B'. host:  packed rANS encode y with the DECODER's indexes, decode y
+  E. device: g_s + output heads from int16 symbols     (_synthesize_from_symbols)
+
+Unlike the classic model.compress() program, stage A ships NO index planes:
+y's CDF-row indexes are recomputed on device from the decoded z (stage C) —
+bit-identical to what the encoder would compute, since z round-trips
+exactly — so the encoder and decoder share one index computation and the
+biggest D2H buffer disappears. Stream bytes are bit-identical to
+model.compress(packed=True).
 """
 
 from concurrent.futures import ThreadPoolExecutor
@@ -30,10 +38,43 @@ import jax.numpy as jnp
 
 from ..entropy import rans
 
+_I16_LIMIT = 2 ** 15 - 1
 
-def _roundtrip_one(model, variables, tables, dev_triple):
+
+def _roundtrip_one(model, variables, tables, batch, dev_triple):
     """Stages B-E for one batch (runs on a coder thread)."""
-    y_sym, z_sym, indexes = jax.device_get(dev_triple)
+    y_sym, z_sym, max_abs = jax.device_get(dev_triple)
+    if int(max_abs) >= _I16_LIMIT:  # int16 narrowing would have wrapped
+        return _roundtrip_one_wide(model, variables, tables, batch)
+    b, zh, zw, zc = z_sym.shape
+    y_shape = y_sym.shape[1:3]
+    z_idx = np.broadcast_to(
+        np.arange(zc, dtype=np.int32), z_sym.shape).ravel()
+
+    zs = rans.encode_with_indexes(z_sym.ravel(), z_idx, tables.eb)
+    z_dec = rans.decode_with_indexes(zs, z_idx, tables.eb,
+                                     out_dtype=np.int16
+                                     ).reshape(b, zh, zw, zc)
+
+    dec_idx = jax.device_get(model._decompress_indexes_u8(
+        variables, jnp.asarray(z_dec), tuple(y_shape)))
+
+    ys = rans.encode_with_indexes(y_sym.ravel(), dec_idx.ravel(), tables.gc)
+    n_bytes = len(ys) + len(zs)
+
+    m = model.latent_channels
+    y_hat = rans.decode_with_indexes(ys, dec_idx.ravel(), tables.gc,
+                                     out_dtype=np.int16
+                                     ).reshape(b, *y_shape, m)
+    x_hats = model._synthesize_from_symbols(variables, jnp.asarray(y_hat))
+    return x_hats, n_bytes
+
+
+def _roundtrip_one_wide(model, variables, tables, batch):
+    """int32 fallback when a symbol overflows int16 (pathological inputs);
+    recomputes the classic compress program with index planes."""
+    y_sym, z_sym, indexes = jax.device_get(
+        model._compress_device(variables, batch))
     b, zh, zw, zc = z_sym.shape
     y_shape = y_sym.shape[1:3]
     z_idx = np.broadcast_to(
@@ -71,9 +112,9 @@ def stream_roundtrip(model, variables, tables, batches: Iterable,
     try:
         futures = []
         for batch in batches:
-            dev = model._compress_device(variables, batch)  # async dispatch
+            dev = model._compress_device_lean(variables, batch)  # async
             futures.append(ex.submit(
-                _roundtrip_one, model, variables, tables, dev))
+                _roundtrip_one, model, variables, tables, batch, dev))
             while len(futures) > depth:
                 yield futures.pop(0).result()
         for f in futures:

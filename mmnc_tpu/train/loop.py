@@ -60,6 +60,7 @@ def fit(
     steps_per_call: int = 1,
     val_every_epochs: int = 1,
     extend_schedule: bool = False,
+    clip_norm: Optional[float] = None,
 ):
     """Train `model`; returns (state, last_val_logs)."""
     run_dir = os.path.join(out_dir, run_name)
@@ -126,9 +127,10 @@ def fit(
     if steps_per_call > 1:
         from .step import make_multi_train_step
         train_step = make_multi_train_step(
-            model, steps_per_call, compute_metrics=tm)
+            model, steps_per_call, compute_metrics=tm, clip_norm=clip_norm)
     else:
-        train_step = make_train_step(model, compute_metrics=tm)
+        train_step = make_train_step(model, compute_metrics=tm,
+                                     clip_norm=clip_norm)
     eval_step = make_eval_step(model, compute_metrics=compute_metrics)
 
     step_rng = jax.random.PRNGKey(seed + 1)
@@ -136,6 +138,7 @@ def fit(
     t_start = time.time()
     done = False
     last_saved_step = -1
+    diverged_checks = 0
 
     def _save():
         nonlocal last_saved_step
@@ -184,7 +187,22 @@ def fit(
                 # host sync, and on a tunneled TPU that RTT dominates small
                 # models' step time — in between, steps dispatch async
                 if step_no % log_every == 0:
-                    logger.log(step_no, jax.device_get(logs))
+                    host_logs = jax.device_get(logs)
+                    logger.log(step_no, host_logs)
+                    # divergence guard: a blown-up run (e.g. an SGDR-restart
+                    # IGDN explosion, rec_loss ~1e26) never recovers — abort
+                    # fast instead of burning the remaining budget. The
+                    # caller (sweep) catches, tags the point, moves on.
+                    loss_now = float(host_logs.get(
+                        "train/loss", host_logs.get("loss", 0.0)) or 0.0)
+                    if not np.isfinite(loss_now) or abs(loss_now) > 1e12:
+                        diverged_checks += 1
+                        if diverged_checks >= 3:
+                            raise RuntimeError(
+                                f"diverged: train loss {loss_now:.3g} at "
+                                f"step {step_no} (3 consecutive checks)")
+                    else:
+                        diverged_checks = 0
                 if max_steps is not None and int(state.step) >= max_steps:
                     done = True
                     break

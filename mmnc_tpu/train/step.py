@@ -10,9 +10,22 @@ replacement for the reference's (never-exercised) NCCL path (SURVEY.md §2.3).
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ..ops import metrics as M
 from .state import TrainState
+
+
+def _clip_grads(grads, max_norm):
+    """Global-norm gradient clip applied to the raw grads BEFORE the
+    optimizer (not as an optax chain stage, so the optimizer-state pytree —
+    and therefore every existing checkpoint — keeps its shape). Guards
+    warm-restart extensions: re-horizoning the cosine schedule jumps the LR
+    back up, which can blow up low-lambda runs (observed: mixed l=0.001
+    rec_loss 1e26 within 100 steps of an SGDR restart at 3e-4)."""
+    gnorm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-12))
+    return jax.tree.map(lambda g: g * scale, grads), gnorm
 
 
 def _metric_logs(model, batch, x_hats, prefix):
@@ -35,7 +48,8 @@ def _metric_logs(model, batch, x_hats, prefix):
     return logs
 
 
-def make_train_step(model, compute_metrics: bool = True, donate: bool = True):
+def make_train_step(model, compute_metrics: bool = True, donate: bool = True,
+                    clip_norm=None):
     """Returns train_step(state, batch, rng) -> (state, logs), jit'd."""
 
     def loss_fn(params, batch, rng):
@@ -50,6 +64,8 @@ def make_train_step(model, compute_metrics: bool = True, donate: bool = True):
         rng = jax.random.fold_in(rng, state.step)
         (_, (logs, x_hats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, rng)
+        if clip_norm is not None:
+            grads, logs["grad_norm"] = _clip_grads(grads, clip_norm)
         state = state.apply_gradients(grads)
         if compute_metrics:
             logs.update(_metric_logs(model, batch, x_hats, "train"))
@@ -61,7 +77,7 @@ def make_train_step(model, compute_metrics: bool = True, donate: bool = True):
 
 def make_multi_train_step(model, steps_per_call: int,
                           compute_metrics: bool = False,
-                          donate: bool = True):
+                          donate: bool = True, clip_norm=None):
     """K optimizer steps per device dispatch via lax.scan.
 
     On a dispatch-latency-bound link (tunneled TPU) the per-call round trip
@@ -82,6 +98,8 @@ def make_multi_train_step(model, steps_per_call: int,
         step_rng = jax.random.fold_in(rng, state.step)
         (_, (logs, x_hats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, step_rng)
+        if clip_norm is not None:
+            grads, logs["grad_norm"] = _clip_grads(grads, clip_norm)
         state = state.apply_gradients(grads)
         if compute_metrics:
             logs.update(_metric_logs(model, batch, x_hats, "train"))

@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <limits>
 #include <vector>
 #include <algorithm>
 
@@ -104,6 +105,123 @@ inline int32_t find_symbol(const int32_t *cdf, int32_t cdf_len, uint32_t cum) {
   return lo;
 }
 
+// Typed cores: the coder is agnostic to how symbols/indexes arrive in host
+// memory. The tunneled-TPU pipeline D2H's symbols as int16 and CDF-row
+// indexes as uint8 (64-row Gaussian table) to halve/quarter transfer bytes
+// on the slow link; the classic API keeps int32 everywhere. Both lower to
+// the same stream bytes — layouts are bit-identical across type choices.
+template <typename SymT, typename IdxT>
+int64_t encode_impl(const SymT *symbols, const IdxT *indexes, int64_t n,
+                    const int32_t *cdfs, int64_t cdf_stride,
+                    const int32_t *cdf_lengths, const int32_t *offsets,
+                    uint8_t *out, int64_t out_capacity) {
+  std::vector<RansSym> syms;
+  syms.reserve(static_cast<size_t>(n) + 16);
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = static_cast<int32_t>(indexes[i]);
+    const int32_t *cdf = cdfs + idx * cdf_stride;
+    const int32_t max_value = cdf_lengths[idx] - 2;
+    int32_t value = static_cast<int32_t>(symbols[i]) - offsets[idx];
+
+    uint32_t raw_val = 0;
+    if (value < 0) {
+      raw_val = static_cast<uint32_t>(-2 * value - 1);
+      value = max_value;
+    } else if (value >= max_value) {
+      raw_val = static_cast<uint32_t>(2 * (value - max_value));
+      value = max_value;
+    }
+
+    syms.push_back({static_cast<uint32_t>(cdf[value]),
+                    static_cast<uint32_t>(cdf[value + 1] - cdf[value]), false});
+
+    if (value == max_value) {
+      // bypass: emit chunk count (unary in base-kMaxBypassVal), then chunks
+      uint32_t n_bypass = 0;
+      while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
+      uint32_t val = n_bypass;
+      while (val >= kMaxBypassVal) {
+        syms.push_back({kMaxBypassVal, kBypassPrecision, true});
+        val -= kMaxBypassVal;
+      }
+      syms.push_back({val, kBypassPrecision, true});
+      for (uint32_t j = 0; j < n_bypass; ++j) {
+        uint32_t chunk = (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal;
+        syms.push_back({chunk, kBypassPrecision, true});
+      }
+    }
+  }
+
+  uint64_t x = kRansL;
+  std::vector<uint32_t> words;
+  words.reserve(syms.size() / 2 + 4);
+  for (auto it = syms.rbegin(); it != syms.rend(); ++it) {
+    if (it->bypass) enc_put_bits(x, words, it->start, it->range);
+    else enc_put(x, words, it->start, it->range);
+  }
+  // flush 64-bit state; pushed high-then-low so that after the reversal
+  // below the decoder reads (low, high) as its first two words
+  words.push_back(static_cast<uint32_t>(x >> 32));
+  words.push_back(static_cast<uint32_t>(x));
+
+  const int64_t nbytes = static_cast<int64_t>(words.size()) * 4;
+  if (nbytes > out_capacity) return -1;
+  // words were emitted in decode-reverse order; write them reversed so the
+  // decoder streams forward: state words first, then renorm words in order.
+  uint32_t *out32 = reinterpret_cast<uint32_t *>(out);
+  for (size_t i = 0; i < words.size(); ++i) {
+    out32[i] = words[words.size() - 1 - i];
+  }
+  return nbytes;
+}
+
+template <typename IdxT, typename OutT>
+int32_t decode_impl(const uint8_t *data, int64_t nbytes, const IdxT *indexes,
+                    int64_t n, const int32_t *cdfs, int64_t cdf_stride,
+                    const int32_t *cdf_lengths, const int32_t *offsets,
+                    OutT *out_symbols) {
+  Reader r(data, nbytes);
+  if (!r.ok) return -1;
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = static_cast<int32_t>(indexes[i]);
+    const int32_t *cdf = cdfs + idx * cdf_stride;
+    const int32_t cdf_len = cdf_lengths[idx];
+    const int32_t max_value = cdf_len - 2;
+
+    const uint32_t cum = r.get_cum();
+    int32_t value = find_symbol(cdf, cdf_len, cum);
+    r.advance(static_cast<uint32_t>(cdf[value]),
+              static_cast<uint32_t>(cdf[value + 1] - cdf[value]));
+
+    if (value == max_value) {
+      // bypass: read chunk count, then the raw value
+      uint32_t val = r.get_bits(kBypassPrecision);
+      uint32_t n_bypass = val;
+      while (val == kMaxBypassVal) {
+        val = r.get_bits(kBypassPrecision);
+        n_bypass += val;
+      }
+      uint32_t raw_val = 0;
+      for (uint32_t j = 0; j < n_bypass; ++j) {
+        raw_val |= r.get_bits(kBypassPrecision) << (j * kBypassPrecision);
+      }
+      value = static_cast<int32_t>(raw_val >> 1);
+      if (raw_val & 1) value = -value - 1;
+      else value += max_value;
+    }
+    if (!r.ok && i + 1 < n) return -2;
+    const int32_t sym = value + offsets[idx];
+    if (sizeof(OutT) < sizeof(int32_t) &&
+        (sym < std::numeric_limits<OutT>::min() ||
+         sym > std::numeric_limits<OutT>::max()))
+      return -3;  // stream holds an outlier the narrow output can't represent
+    out_symbols[i] = static_cast<OutT>(sym);
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -163,65 +281,28 @@ int64_t mmnc_rans_encode_with_indexes(
     const int32_t *symbols, const int32_t *indexes, int64_t n,
     const int32_t *cdfs, int64_t cdf_stride, const int32_t *cdf_lengths,
     const int32_t *offsets, uint8_t *out, int64_t out_capacity) {
-  std::vector<RansSym> syms;
-  syms.reserve(static_cast<size_t>(n) + 16);
+  return encode_impl(symbols, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                     offsets, out, out_capacity);
+}
 
-  for (int64_t i = 0; i < n; ++i) {
-    const int32_t idx = indexes[i];
-    const int32_t *cdf = cdfs + idx * cdf_stride;
-    const int32_t max_value = cdf_lengths[idx] - 2;
-    int32_t value = symbols[i] - offsets[idx];
+// int16 symbols (as D2H'd from the device) + uint8 CDF-row indexes
+// (Gaussian scale table has 64 rows). Stream bytes identical to the i32 API.
+int64_t mmnc_rans_encode_i16u8(
+    const int16_t *symbols, const uint8_t *indexes, int64_t n,
+    const int32_t *cdfs, int64_t cdf_stride, const int32_t *cdf_lengths,
+    const int32_t *offsets, uint8_t *out, int64_t out_capacity) {
+  return encode_impl(symbols, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                     offsets, out, out_capacity);
+}
 
-    uint32_t raw_val = 0;
-    if (value < 0) {
-      raw_val = static_cast<uint32_t>(-2 * value - 1);
-      value = max_value;
-    } else if (value >= max_value) {
-      raw_val = static_cast<uint32_t>(2 * (value - max_value));
-      value = max_value;
-    }
-
-    syms.push_back({static_cast<uint32_t>(cdf[value]),
-                    static_cast<uint32_t>(cdf[value + 1] - cdf[value]), false});
-
-    if (value == max_value) {
-      // bypass: emit chunk count (unary in base-kMaxBypassVal), then chunks
-      uint32_t n_bypass = 0;
-      while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
-      uint32_t val = n_bypass;
-      while (val >= kMaxBypassVal) {
-        syms.push_back({kMaxBypassVal, kBypassPrecision, true});
-        val -= kMaxBypassVal;
-      }
-      syms.push_back({val, kBypassPrecision, true});
-      for (uint32_t j = 0; j < n_bypass; ++j) {
-        uint32_t chunk = (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal;
-        syms.push_back({chunk, kBypassPrecision, true});
-      }
-    }
-  }
-
-  uint64_t x = kRansL;
-  std::vector<uint32_t> words;
-  words.reserve(syms.size() / 2 + 4);
-  for (auto it = syms.rbegin(); it != syms.rend(); ++it) {
-    if (it->bypass) enc_put_bits(x, words, it->start, it->range);
-    else enc_put(x, words, it->start, it->range);
-  }
-  // flush 64-bit state; pushed high-then-low so that after the reversal
-  // below the decoder reads (low, high) as its first two words
-  words.push_back(static_cast<uint32_t>(x >> 32));
-  words.push_back(static_cast<uint32_t>(x));
-
-  const int64_t nbytes = static_cast<int64_t>(words.size()) * 4;
-  if (nbytes > out_capacity) return -1;
-  // words were emitted in decode-reverse order; write them reversed so the
-  // decoder streams forward: state words first, then renorm words in order.
-  uint32_t *out32 = reinterpret_cast<uint32_t *>(out);
-  for (size_t i = 0; i < words.size(); ++i) {
-    out32[i] = words[words.size() - 1 - i];
-  }
-  return nbytes;
+// int16 symbols + int32 indexes (hyper-latent z: host-built channel indexes
+// may exceed 255 channels, symbols still narrow).
+int64_t mmnc_rans_encode_i16i32(
+    const int16_t *symbols, const int32_t *indexes, int64_t n,
+    const int32_t *cdfs, int64_t cdf_stride, const int32_t *cdf_lengths,
+    const int32_t *offsets, uint8_t *out, int64_t out_capacity) {
+  return encode_impl(symbols, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                     offsets, out, out_capacity);
 }
 
 // Decode n symbols given their per-symbol CDF-row indexes.
@@ -230,40 +311,27 @@ int32_t mmnc_rans_decode_with_indexes(
     const uint8_t *data, int64_t nbytes, const int32_t *indexes, int64_t n,
     const int32_t *cdfs, int64_t cdf_stride, const int32_t *cdf_lengths,
     const int32_t *offsets, int32_t *out_symbols) {
-  Reader r(data, nbytes);
-  if (!r.ok) return -1;
+  return decode_impl(data, nbytes, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                     offsets, out_symbols);
+}
 
-  for (int64_t i = 0; i < n; ++i) {
-    const int32_t idx = indexes[i];
-    const int32_t *cdf = cdfs + idx * cdf_stride;
-    const int32_t cdf_len = cdf_lengths[idx];
-    const int32_t max_value = cdf_len - 2;
+// uint8 indexes -> int16 symbols (H2D-lean decode; returns -3 if the stream
+// holds an outlier that doesn't fit int16).
+int32_t mmnc_rans_decode_u8i16(
+    const uint8_t *data, int64_t nbytes, const uint8_t *indexes, int64_t n,
+    const int32_t *cdfs, int64_t cdf_stride, const int32_t *cdf_lengths,
+    const int32_t *offsets, int16_t *out_symbols) {
+  return decode_impl(data, nbytes, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                     offsets, out_symbols);
+}
 
-    const uint32_t cum = r.get_cum();
-    int32_t value = find_symbol(cdf, cdf_len, cum);
-    r.advance(static_cast<uint32_t>(cdf[value]),
-              static_cast<uint32_t>(cdf[value + 1] - cdf[value]));
-
-    if (value == max_value) {
-      // bypass: read chunk count, then the raw value
-      uint32_t val = r.get_bits(kBypassPrecision);
-      uint32_t n_bypass = val;
-      while (val == kMaxBypassVal) {
-        val = r.get_bits(kBypassPrecision);
-        n_bypass += val;
-      }
-      uint32_t raw_val = 0;
-      for (uint32_t j = 0; j < n_bypass; ++j) {
-        raw_val |= r.get_bits(kBypassPrecision) << (j * kBypassPrecision);
-      }
-      value = static_cast<int32_t>(raw_val >> 1);
-      if (raw_val & 1) value = -value - 1;
-      else value += max_value;
-    }
-    if (!r.ok && i + 1 < n) return -2;
-    out_symbols[i] = value + offsets[idx];
-  }
-  return 0;
+// int32 indexes -> int16 symbols (z path).
+int32_t mmnc_rans_decode_i32i16(
+    const uint8_t *data, int64_t nbytes, const int32_t *indexes, int64_t n,
+    const int32_t *cdfs, int64_t cdf_stride, const int32_t *cdf_lengths,
+    const int32_t *offsets, int16_t *out_symbols) {
+  return decode_impl(data, nbytes, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                     offsets, out_symbols);
 }
 
 }  // extern "C"

@@ -69,6 +69,10 @@ def parse_args(argv):
     p.add_argument("--lmbdas", default=None,
                    help="comma-separated lambda filter (default: all of "
                         f"{LMBDAS})")
+    p.add_argument("--clip-norm", type=float, default=5.0,
+                   help="global-norm gradient clip; generous enough to never "
+                        "touch healthy steps, stops SGDR-restart blowups "
+                        "(pass 0 to disable)")
     p.add_argument("--val-every-epochs", type=int, default=10)
     p.add_argument("--checkpoint-every-epochs", type=int, default=10)
     p.add_argument("--extend", action="store_true",
@@ -192,7 +196,8 @@ def main(argv=None):
                     steps_per_call=spc, log_every=50,
                     val_every_epochs=args.val_every_epochs,
                     extend_schedule=args.extend,
-                    checkpoint_every_epochs=args.checkpoint_every_epochs)
+                    checkpoint_every_epochs=args.checkpoint_every_epochs,
+                    clip_norm=args.clip_norm or None)
             except Exception as e:  # noqa: BLE001 — skip, keep sweeping
                 print(f"!!! {run} failed: {type(e).__name__}: {e}")
                 if run in done:

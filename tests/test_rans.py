@@ -130,3 +130,44 @@ def test_gc_table_builds():
     # each row's cdf must terminate at 2^16
     for r in range(64):
         assert table.cdfs[r, table.cdf_lengths[r] - 1] == (1 << PRECISION)
+
+
+def test_typed_paths_bit_identical_and_narrow_decode():
+    """int16-symbol / uint8-index native entry points produce the SAME
+    stream bytes as the classic int32 path, and the int16 decode output
+    matches (incl. bypass outliers that still fit int16)."""
+    rng = np.random.default_rng(7)
+    table = _random_table(rng, rows=6)
+    n = 4096
+    indexes = rng.integers(0, 6, n).astype(np.int32)
+    symbols = (rng.integers(-40, 40, n)
+               + table.offsets[indexes]).astype(np.int32)
+    symbols[::97] += 3000  # bypass escapes, int16-representable
+
+    ref = rans.encode_with_indexes(symbols, indexes, table)
+    via_i16_u8 = rans.encode_with_indexes(
+        symbols.astype(np.int16), indexes.astype(np.uint8), table)
+    via_i16_i32 = rans.encode_with_indexes(
+        symbols.astype(np.int16), indexes, table)
+    assert ref == via_i16_u8 == via_i16_i32
+
+    for idx in (indexes, indexes.astype(np.uint8)):
+        out = rans.decode_with_indexes(ref, idx, table, out_dtype=np.int16)
+        assert out.dtype == np.int16
+        np.testing.assert_array_equal(out, symbols)
+
+
+def test_narrow_decode_overflow_raises():
+    """Decoding a stream whose outlier exceeds int16 into an int16 buffer
+    must raise, never silently wrap."""
+    import pytest
+
+    rng = np.random.default_rng(3)
+    table = _random_table(rng, rows=1)
+    symbols = np.array([100000, 0, -1], np.int32)
+    indexes = np.zeros(3, np.int32)
+    data = rans.encode_with_indexes(symbols, indexes, table)
+    np.testing.assert_array_equal(
+        rans.decode_with_indexes(data, indexes, table), symbols)
+    with pytest.raises(OverflowError):
+        rans.decode_with_indexes(data, indexes, table, out_dtype=np.int16)
