@@ -36,16 +36,18 @@ def _roundtrip_flops(model, variables, batch):
         return float(ca.get("flops", 0.0))
 
     y_sym, z_sym, _ = jax.eval_shape(
-        lambda v, b: model._compress_device(v, b), variables, batch)
+        lambda v, b: model._compress_device_lean(v, b), variables, batch)
     y_shape = tuple(y_sym.shape[1:3])
-    z = jnp.zeros(z_sym.shape, jnp.int32)
+    z = jnp.zeros(z_sym.shape, jnp.int16)
     y_hat = jnp.zeros(
-        (z_sym.shape[0], *y_shape, model.latent_channels), jnp.float32)
+        (z_sym.shape[0], *y_shape, model.latent_channels), jnp.int16)
     cls = type(model)
+    # the three device programs the streaming pipeline actually dispatches
+    # (h_s rides _decompress_indexes, shared by encoder and decoder)
     total = (
-        flops(cls._compress_device.lower(model, variables, batch))
-        + flops(cls._decompress_indexes.lower(model, variables, z, y_shape))
-        + flops(cls._decompress_synthesize.lower(model, variables, y_hat)))
+        flops(cls._compress_device_lean.lower(model, variables, batch))
+        + flops(cls._decompress_indexes_u8.lower(model, variables, z, y_shape))
+        + flops(cls._synthesize_from_symbols.lower(model, variables, y_hat)))
     return total
 
 

@@ -51,15 +51,18 @@ def timed(fn, iters=4):
 
 
 def stage_times(model, variables, tables, batch, iters=4):
+    """Per-stage wall times of the transfer-lean pipeline layout
+    (models/streaming.py): int16 symbols, uint8 indexes, y encoded with the
+    decoder's device-recomputed indexes."""
     from mmnc_tpu.entropy import rans
 
     out = {}
-    # A: device compress (heads+g_a+h_a+quantize+indexes)
+    # A: device compress (heads+g_a+h_a+quantize; no h_s/indexes)
     out["A_compress_device"] = timed(
         lambda: jax.block_until_ready(
-            model._compress_device(variables, batch)), iters)
-    dev = model._compress_device(variables, batch)
-    # D2H of the symbol triple — device_get caches the host copy on the
+            model._compress_device_lean(variables, batch)), iters)
+    dev = model._compress_device_lean(variables, batch)
+    # D2H of the int16 symbol pair — device_get caches the host copy on the
     # array, so each timed iteration must fetch a FRESH (copied) triple
     fresh = jax.jit(lambda t: jax.tree.map(lambda a: a + 0, t))
 
@@ -72,38 +75,41 @@ def stage_times(model, variables, tables, batch, iters=4):
 
     d2h()  # warm the copy jit
     out["D2H_symbols"] = sum(d2h() for _ in range(iters)) / iters
-    y_sym, z_sym, indexes = jax.device_get(dev)
+    y_sym, z_sym, _ = jax.device_get(dev)
     b, zh, zw, zc = z_sym.shape
     y_shape = y_sym.shape[1:3]
     z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
                             z_sym.shape).ravel()
-    # B: host coding
-    out["B_host_encode_y"] = timed(lambda: rans.encode_with_indexes(
-        y_sym.ravel(), indexes.ravel(), tables.gc), iters)
+    # B: host coding of z
     out["B_host_encode_z"] = timed(lambda: rans.encode_with_indexes(
         z_sym.ravel(), z_idx, tables.eb), iters)
     zs = rans.encode_with_indexes(z_sym.ravel(), z_idx, tables.eb)
     out["B_host_decode_z"] = timed(lambda: rans.decode_with_indexes(
-        zs, z_idx, tables.eb), iters)
-    z_dec = rans.decode_with_indexes(zs, z_idx, tables.eb).reshape(z_sym.shape)
-    # C: device index synthesis
-    out["C_decompress_indexes"] = timed(
-        lambda: jax.block_until_ready(model._decompress_indexes(
+        zs, z_idx, tables.eb, out_dtype=np.int16), iters)
+    z_dec = rans.decode_with_indexes(zs, z_idx, tables.eb,
+                                     out_dtype=np.int16).reshape(z_sym.shape)
+    # C: device index synthesis (h_s -> uint8 rows) incl. its D2H
+    out["C_decompress_indexes_u8"] = timed(
+        lambda: jax.device_get(model._decompress_indexes_u8(
             variables, jnp.asarray(z_dec), tuple(y_shape))), iters)
     dec_idx = jax.device_get(
-        model._decompress_indexes(variables, jnp.asarray(z_dec),
-                                  tuple(y_shape)))
-    ys = rans.encode_with_indexes(y_sym.ravel(), indexes.ravel(), tables.gc)
+        model._decompress_indexes_u8(variables, jnp.asarray(z_dec),
+                                     tuple(y_shape)))
+    # B': host coding of y with the decoder's indexes
+    out["B_host_encode_y"] = timed(lambda: rans.encode_with_indexes(
+        y_sym.ravel(), dec_idx.ravel(), tables.gc), iters)
+    ys = rans.encode_with_indexes(y_sym.ravel(), dec_idx.ravel(), tables.gc)
     out["D_host_decode_y"] = timed(lambda: rans.decode_with_indexes(
-        ys, dec_idx.ravel(), tables.gc), iters)
-    y_hat = rans.decode_with_indexes(ys, dec_idx.ravel(), tables.gc).reshape(
-        b, *y_shape, model.latent_channels).astype(np.float32)
+        ys, dec_idx.ravel(), tables.gc, out_dtype=np.int16), iters)
+    y_hat = rans.decode_with_indexes(
+        ys, dec_idx.ravel(), tables.gc, out_dtype=np.int16).reshape(
+        b, *y_shape, model.latent_channels)
     # E: device synthesis (g_s + output heads) — the FLOPs-heavy decode
     y_dev = jnp.asarray(y_hat)
     out["E_synthesize_device"] = timed(
         lambda: jax.block_until_ready(
-            model._decompress_synthesize(variables, y_dev)), iters)
-    out["H2D_y_hat"] = timed(lambda: jax.block_until_ready(
+            model._synthesize_from_symbols(variables, y_dev)), iters)
+    out["H2D_y_hat_i16"] = timed(lambda: jax.block_until_ready(
         jnp.asarray(y_hat)), iters)
     return out
 
