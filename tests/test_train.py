@@ -182,3 +182,52 @@ def test_fit_clamps_steps_per_call_to_epoch_length(tmp_path):
                    compute_metrics=False, log_images=False,
                    steps_per_call=8, log_every=100)
     assert int(state.step) == 2
+
+
+def test_grad_clip_bounds_update_and_logs_norm(setup):
+    """clip_norm: huge threshold == unclipped step exactly; tiny threshold
+    must shrink the parameter update; train/grad_norm is logged."""
+    model, batch, variables = setup
+
+    def one(clip):
+        s = create_train_state(variables["params"], total_steps=10,
+                               learning_rate_main=1e-3)
+        step = make_train_step(model, compute_metrics=False, donate=False,
+                               clip_norm=clip)
+        return step(s, batch, jax.random.PRNGKey(0))
+
+    s_none, logs_none = one(None)
+    s_big, logs_big = one(1e9)
+    assert "train/grad_norm" not in logs_none
+    gnorm = float(logs_big["train/grad_norm"])
+    assert np.isfinite(gnorm) and gnorm > 0
+    for k, v in flatten_dict(s_none.params).items():
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flatten_dict(s_big.params)[k]),
+            err_msg=str(k))
+
+    # a tiny clip must leave params closer to their initial values than an
+    # unclipped step does (Adam renormalizes, so compare total movement)
+    s_tiny, _ = one(gnorm * 1e-6)
+    p0 = flatten_dict(variables["params"])
+    moved_tiny = sum(float(np.abs(np.asarray(v) - np.asarray(p0[k])).sum())
+                     for k, v in flatten_dict(s_tiny.params).items())
+    moved_none = sum(float(np.abs(np.asarray(v) - np.asarray(p0[k])).sum())
+                     for k, v in flatten_dict(s_none.params).items())
+    assert moved_tiny < moved_none
+
+
+def test_fit_divergence_guard_aborts(tmp_path):
+    """A run whose loss blows up must abort with 'diverged' instead of
+    training (and checkpointing) garbage to the end of the budget."""
+    from mmnc_tpu.train.loop import fit
+    from mmnc_tpu.data import SyntheticMultiTaskDataset, BatchLoader
+
+    model = build_model(1, ["mono"], latent_channels=8, conv_channels=4,
+                        lmbda=1e-2, learning_rate_main=1e7)  # guaranteed blowup
+    ds = SyntheticMultiTaskDataset(["mono"], size=4, image_size=256)
+    loader = BatchLoader(ds, batch_size=2, shuffle=False)
+    with pytest.raises(RuntimeError, match="diverged"):
+        fit(model, loader, None, epochs=50, run_name="diverge",
+            out_dir=str(tmp_path), compute_metrics=False, log_images=False,
+            log_every=1, checkpoint_every_epochs=1000)
