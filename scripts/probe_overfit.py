@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument("--steps-per-call", type=int, default=8)
     p.add_argument("--time-batches", default="64,128,256",
                    help="comma list of batch sizes to time (empty to skip)")
+    p.add_argument("--y-gain", type=float, default=1.0,
+                   help="multiply g_a's final conv kernel+bias by this at "
+                        "init: larger-magnitude y = more quantization "
+                        "levels available from step 0 (rate-warmup probe)")
+    p.add_argument("--out", default=None,
+                   help="write the PSNR/y-stat trajectory as JSON here")
     args = p.parse_args(argv)
 
     ds = SyntheticMultiTaskDataset(TASKS, size=args.batch_size,
@@ -56,10 +62,27 @@ def main(argv=None):
                         learning_rate_aux=1e-3)
     rng = jax.random.PRNGKey(21)
     variables = model.init(rng, batch)
+    if args.y_gain != 1.0:
+        params = variables["params"]
+        ga = dict(params["compressor"]["g_a"])
+        last = sorted(k for k in ga if k.startswith("Conv_"))[-1]
+        ga[last] = jax.tree.map(lambda x: x * args.y_gain, ga[last])
+        comp = dict(params["compressor"]); comp["g_a"] = ga
+        variables = {**variables,
+                     "params": {**params, "compressor": comp}}
+        print(f"  y-gain: scaled compressor/g_a/{last} by {args.y_gain}")
     state = create_train_state(variables["params"],
                                args.horizon or args.steps,
                                learning_rate_main=args.lr,
                                learning_rate_aux=1e-3)
+
+    y_stats_fn = jax.jit(lambda p, b: model.encode_eval({"params": p}, b)[0])
+
+    def y_stats(params):
+        y = y_stats_fn(params, batch)
+        ay = jnp.abs(y)
+        return (float(jnp.std(y)), float(jnp.max(ay)),
+                float(jnp.mean(ay > 0.5)))
 
     spc = args.steps_per_call
     step_fn = make_multi_train_step(model, spc, compute_metrics=True)
@@ -91,8 +114,24 @@ def main(argv=None):
                    "rate_bpp": round(logs.get("train/compression_loss",
                                               logs.get("train/rate", 0)), 5),
                    "loss": round(logs.get("train/loss", 0), 3)}
+            ystd, ymax, ylive = y_stats(state.params)
+            row["y_std"] = round(ystd, 3)
+            row["y_max"] = round(ymax, 2)
+            row["y_live_frac"] = round(ylive, 4)
             hist.append(row)
-            print("  " + " ".join(f"{k}={v}" for k, v in row.items()))
+            print("  " + " ".join(f"{k}={v}" for k, v in row.items()),
+                  flush=True)
+
+    if args.out:
+        import json
+        cfg = {"tasks": TASKS, "model": "mixed", "M": 300, "C": 32,
+               "lmbda": args.lmbda, "lr": args.lr, "y_gain": args.y_gain,
+               "batch_size": args.batch_size, "steps": args.steps,
+               "horizon": args.horizon or args.steps,
+               "note": "one fixed synthetic batch, overfit trajectory"}
+        with open(args.out, "w") as f:
+            json.dump({"config": cfg, "history": hist}, f, indent=1)
+        print(f"wrote {args.out}")
 
     if args.time_batches:
         print("step-time vs batch size (fresh state each, 3 timed calls):")
