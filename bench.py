@@ -95,9 +95,12 @@ def measure_tpu_mps(batch_size=512, image_size=256, iters=8,
             # when the program exceeds HBM); only those are worth retrying at
             # a smaller batch — anything else (shape/dtype bugs) surfaces NOW
             msg = f"{type(e).__name__}: {e}"
+            # status-code substrings only: "XlaRuntimeError" is the exception
+            # TYPE of virtually every XLA failure (incl. INVALID_ARGUMENT
+            # shape bugs) and must not trigger the retry-smaller path
             oom_shaped = any(s in msg for s in (
                 "RESOURCE_EXHAUSTED", "Resource exhausted", "out of memory",
-                "OOM", "INTERNAL", "500", "XlaRuntimeError"))
+                "OOM", "INTERNAL", "500"))
             if bs == sizes[-1] or not oom_shaped:
                 raise
             print(f"batch {bs} failed ({msg[:140]}), retrying smaller",

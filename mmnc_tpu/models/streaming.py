@@ -25,8 +25,12 @@ Unlike the classic model.compress() program, stage A ships NO index planes:
 y's CDF-row indexes are recomputed on device from the decoded z (stage C) —
 bit-identical to what the encoder would compute, since z round-trips
 exactly — so the encoder and decoder share one index computation and the
-biggest D2H buffer disappears. Stream bytes are bit-identical to
-model.compress(packed=True).
+biggest D2H buffer disappears. Streams are equivalent to
+model.compress(packed=True) — byte-identical in practice (asserted in
+tests/test_streaming.py), though the u8 index program is a separately
+jitted computation, so XLA fusion differences could in principle flip a
+build_indexes bin at a scale-table boundary; round-trips stay exact
+either way because encode and decode share the same index program.
 """
 
 from concurrent.futures import ThreadPoolExecutor

@@ -139,6 +139,7 @@ def fit(
     done = False
     last_saved_step = -1
     diverged_checks = 0
+    _warned_no_loss_key = [False]  # warn once if the guard's keys vanish
 
     def _save():
         nonlocal last_saved_step
@@ -193,6 +194,13 @@ def fit(
                     # IGDN explosion, rec_loss ~1e26) never recovers — abort
                     # fast instead of burning the remaining budget. The
                     # caller (sweep) catches, tags the point, moves on.
+                    if ("train/loss" not in host_logs
+                            and "loss" not in host_logs
+                            and not _warned_no_loss_key[0]):
+                        _warned_no_loss_key[0] = True
+                        print("WARNING: divergence guard found neither "
+                              "'train/loss' nor 'loss' in logs — the "
+                              "guard is inert for this run")
                     loss_now = float(host_logs.get(
                         "train/loss", host_logs.get("loss", 0.0)) or 0.0)
                     if not np.isfinite(loss_now) or abs(loss_now) > 1e12:

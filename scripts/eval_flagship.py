@@ -81,8 +81,11 @@ def main(ckpt_path: str, out_path: str):
     # image-logging callback equivalent for the flagship row)
     from mmnc_tpu.utils.logging import save_image_grid
     x_hats, _ = model.forward(variables, batch, training=False)
+    # derive the grid dir from the output stem (round-agnostic; a
+    # hardcoded round tag silently mislabeled later-round re-runs)
+    stem = os.path.splitext(os.path.basename(out_path))[0]
     grid_dir = os.path.join(os.path.dirname(out_path) or ".",
-                            "flagship_samples_r3")
+                            f"{stem}_samples")
     save_image_grid(grid_dir, jax.tree.map(np.asarray, x_hats), batch)
     summary["sample_grids"] = grid_dir
 
