@@ -1,0 +1,109 @@
+"""Artifact/run-dir consistency check (round-3 verdict: committed
+artifacts must not contradict the code or the run directories).
+
+For every RD point in the sweep/eval artifacts, assert its `steps` field
+matches the newest checkpoint of the corresponding run directory (points
+tagged `stale: true` by the sweep's failure path are exempt but listed).
+Also checks flagship_eval.json against its checkpoint path.
+
+    python scripts/check_artifacts.py            # report + exit code
+    python scripts/check_artifacts.py --fix      # rewrite steps fields
+                                                 # from the run dirs
+"""
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def newest_step(run_dir):
+    steps = [int(m.group(1)) for p in
+             glob.glob(os.path.join(run_dir, "checkpoints", "step_*"))
+             if (m := re.search(r"step_(\d+)$", p))]
+    return max(steps) if steps else None
+
+
+def check_points(path, run_root, fix=False):
+    if not os.path.exists(path):
+        return [], False
+    with open(path) as f:
+        points = json.load(f)
+    problems, changed = [], False
+    for p in points:
+        run = p.get("run")
+        if not run:
+            continue
+        actual = newest_step(os.path.join(run_root, run))
+        if actual is None:
+            problems.append(f"{path}: {run} has no checkpoints on disk")
+            continue
+        recorded = p.get("steps")
+        if recorded != actual:
+            if p.get("stale"):
+                problems.append(
+                    f"{path}: {run} steps={recorded} != ckpt {actual} "
+                    f"(tagged stale: '{p.get('refresh_error', '?')[:60]}')")
+            elif fix:
+                p["steps"] = actual
+                changed = True
+            else:
+                problems.append(
+                    f"{path}: {run} steps={recorded} != newest ckpt {actual}")
+    if fix and changed:
+        with open(path, "w") as f:
+            json.dump(points, f, indent=2)
+        print(f"rewrote {path}")
+    return problems, changed
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fix", action="store_true")
+    args = ap.parse_args(argv)
+
+    run_root = os.path.join(REPO, "runs", "rd_paper")
+    hard, soft = [], []
+    for name in ("artifacts/rd_paper_ext.json", "artifacts/rd_paper.json"):
+        probs, _ = check_points(os.path.join(REPO, name), run_root, args.fix)
+        for p in probs:
+            (soft if "tagged stale" in p or "@" in name else hard).append(p)
+
+    # eval artifacts evaluate a *specific* checkpoint — their steps need
+    # not equal the newest, but the checkpoint they name must exist
+    for name in ("artifacts/rd_paper_eval.json",
+                 "artifacts/rd_paper_eval_at12k.json",
+                 "artifacts/rd_paper_eval_at40k.json"):
+        path = os.path.join(REPO, name)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            points = json.load(f)
+        for p in points:
+            ck = p.get("checkpoint")
+            if ck and not os.path.exists(os.path.join(REPO, ck)):
+                hard.append(f"{name}: missing checkpoint {ck}")
+
+    fl = os.path.join(REPO, "artifacts", "flagship_eval.json")
+    if os.path.exists(fl):
+        with open(fl) as f:
+            summary = json.load(f)
+        ck = summary.get("checkpoint")
+        if ck and not os.path.exists(os.path.join(REPO, ck)):
+            hard.append(f"flagship_eval.json: missing checkpoint {ck}")
+
+    for p in soft:
+        print(f"note: {p}")
+    for p in hard:
+        print(f"FAIL: {p}")
+    if hard:
+        sys.exit(1)
+    print(f"check_artifacts: OK ({len(soft)} stale-tagged notes)")
+
+
+if __name__ == "__main__":
+    main()
