@@ -51,6 +51,10 @@ def parse_args(argv):
     p.add_argument("--image-size", default=256, type=int)
     p.add_argument("--train-size", default=1024, type=int,
                    help="synthetic dataset size")
+    p.add_argument("--data-style", default="legacy",
+                   choices=("legacy", "clevr"),
+                   help="synthetic render style; 'clevr' matches the "
+                        "reference data's statistics (DESIGN.md round 4)")
     p.add_argument("--val-size", default=64, type=int)
     p.add_argument("--max-steps", default=None, type=int)
     p.add_argument("--out-dir", default="runs")
@@ -88,9 +92,11 @@ def parse_args(argv):
 def get_loaders(args):
     if args.dataset == "synthetic":
         train = SyntheticMultiTaskDataset(args.tasks, size=args.train_size,
-                                          image_size=args.image_size, seed=0)
+                                          image_size=args.image_size, seed=0,
+                                          style=args.data_style)
         val = SyntheticMultiTaskDataset(args.tasks, size=args.val_size,
-                                        image_size=args.image_size, seed=10 ** 6)
+                                        image_size=args.image_size,
+                                        seed=10 ** 6, style=args.data_style)
     elif args.dataset in ("mnist", "fashion-mnist"):
         assert args.tasks == ["mono"], "MNIST datasets provide only 'mono'"
         root = DATASET_ROOTS[args.dataset]

@@ -51,6 +51,11 @@ def _dataset_cache_key(dataset) -> str:
         "seed": getattr(dataset, "seed", None),
         "split": getattr(dataset, "split", None),
     }
+    # render-style variants key separately; omitted for the default
+    # ("legacy") so pre-round-4 caches stay hits
+    style = getattr(dataset, "style", None)
+    if style not in (None, "legacy"):
+        ident["style"] = style
     # distinguish different on-disk copies of the same-shape dataset
     # (omitted entirely for path-less datasets so their cache keys — e.g.
     # the synthetic renders already on disk — stay stable)

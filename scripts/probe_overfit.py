@@ -49,10 +49,13 @@ def main(argv=None):
                         "levels available from step 0 (rate-warmup probe)")
     p.add_argument("--out", default=None,
                    help="write the PSNR/y-stat trajectory as JSON here")
+    p.add_argument("--data-style", default="legacy",
+                   choices=["legacy", "clevr"])
     args = p.parse_args(argv)
 
     ds = SyntheticMultiTaskDataset(TASKS, size=args.batch_size,
-                                   image_size=256, seed=0)
+                                   image_size=256, seed=0,
+                                   style=args.data_style)
     host_batch = {t: np.stack([ds[i][t] for i in range(args.batch_size)])
                   for t in TASKS}
     batch = {t: jnp.asarray(v) for t, v in host_batch.items()}
@@ -125,6 +128,7 @@ def main(argv=None):
     if args.out:
         import json
         cfg = {"tasks": TASKS, "model": "mixed", "M": 300, "C": 32,
+               "data_style": args.data_style,
                "lmbda": args.lmbda, "lr": args.lr, "y_gain": args.y_gain,
                "batch_size": args.batch_size, "steps": args.steps,
                "horizon": args.horizon or args.steps,

@@ -75,6 +75,13 @@ def parse_args(argv):
                         "(pass 0 to disable)")
     p.add_argument("--val-every-epochs", type=int, default=10)
     p.add_argument("--checkpoint-every-epochs", type=int, default=10)
+    p.add_argument("--data-style", default="legacy",
+                   choices=["legacy", "clevr"],
+                   help="synthetic render style; 'clevr' matches the "
+                        "reference data's statistics (fixed palette, "
+                        "antialiased rgb — see DESIGN.md round 4). Use a "
+                        "fresh --run-dir/--out when switching styles: runs "
+                        "resume by name and the styles are different data")
     p.add_argument("--extend", action="store_true",
                    help="re-horizon the LR schedule when --steps exceeds a "
                         "finished run's horizon (warm-restart extension)")
@@ -131,22 +138,23 @@ def main(argv=None):
         if only is None or kind in only)
 
     print("prerendering dataset ...")
+    style = args.data_style
     full_train = prerender(SyntheticMultiTaskDataset(
-        TASKS, size=args.train_size, image_size=args.image_size, seed=0),
-        "data/prerendered")
+        TASKS, size=args.train_size, image_size=args.image_size, seed=0,
+        style=style), "data/prerendered")
     full_val = prerender(SyntheticMultiTaskDataset(
-        TASKS, size=args.val_size, image_size=args.image_size, seed=10 ** 6),
-        "data/prerendered")
+        TASKS, size=args.val_size, image_size=args.image_size, seed=10 ** 6,
+        style=style), "data/prerendered")
     if need_semantic:
         # semantic rides a separate 1-task prerender (same seed => identical
         # scenes, the renderer derives every modality from one per-index rng)
         # so the big 3-task cache from earlier rounds stays a cache hit
         sem_train = prerender(SyntheticMultiTaskDataset(
             ["semantic"], size=args.train_size, image_size=args.image_size,
-            seed=0), "data/prerendered")
+            seed=0, style=style), "data/prerendered")
         sem_val = prerender(SyntheticMultiTaskDataset(
             ["semantic"], size=args.val_size, image_size=args.image_size,
-            seed=10 ** 6), "data/prerendered")
+            seed=10 ** 6, style=style), "data/prerendered")
         full_train = type(full_train)(
             {**full_train.arrays, "semantic": sem_train.arrays["semantic"]})
         full_val = type(full_val)(
@@ -212,6 +220,7 @@ def main(argv=None):
 
             point = {"run": run, "kind": kind, "model": model_num,
                      "lmbda": lmbda, "tasks": list(tasks),
+                     "data_style": args.data_style,
                      "steps": int(state.step),
                      "estimated_bpp_train_geometry": None,
                      "wallclock_s": round(time.time() - t0, 1)}

@@ -92,3 +92,39 @@ def test_prerender_cache_key_distinguishes_data_paths(tmp_path):
     assert _dataset_cache_key(ds) != base
     del ds.data_path
     assert _dataset_cache_key(ds) == base  # path-less keys stay stable
+
+
+def test_clevr_style_contract(tmp_path):
+    """style='clevr' keeps the data contract (shapes/ranges/classes),
+    is deterministic per index, and prerender-keys separately from
+    legacy (different pixels must not collide in the cache)."""
+    from mmnc_tpu.data import SyntheticMultiTaskDataset, prerender
+    import numpy as np
+
+    tasks = ["rgb", "depth_euclidean", "normal", "semantic", "mono"]
+    ds = SyntheticMultiTaskDataset(tasks, size=4, image_size=32, seed=3,
+                                   style="clevr")
+    s = ds[1]
+    assert s["rgb"].shape == (32, 32, 3)
+    assert s["depth_euclidean"].shape == (32, 32, 1)
+    assert s["normal"].shape == (32, 32, 3)
+    assert s["semantic"].shape == (32, 32, 1)
+    for t in tasks:
+        assert s[t].dtype == np.float32
+        assert s[t].min() >= 0.0 and s[t].max() <= (16.0 if t == "semantic"
+                                                    else 1.0)
+    sem = s["semantic"]
+    assert np.allclose(sem, np.round(sem))  # integer class ids
+    again = ds[1]
+    for t in tasks:
+        np.testing.assert_array_equal(s[t], again[t])
+
+    legacy = SyntheticMultiTaskDataset(["rgb"], size=4, image_size=32,
+                                       seed=3)
+    assert not np.array_equal(ds[0]["rgb"], legacy[0]["rgb"])
+    a = prerender(SyntheticMultiTaskDataset(["rgb"], size=2, image_size=16,
+                                            seed=0, style="clevr"),
+                  str(tmp_path))
+    b = prerender(SyntheticMultiTaskDataset(["rgb"], size=2, image_size=16,
+                                            seed=0), str(tmp_path))
+    assert not np.array_equal(a.arrays["rgb"], b.arrays["rgb"])
