@@ -110,7 +110,8 @@ def classical_codec_rd(image: np.ndarray, target_bpp: float,
 
 def learned_baseline_rd(checkpoint_paths: Sequence[str], batch=None,
                         batch_size: int = 16, image_size: int = 256,
-                        seed: int = 21, n_images: int = 256) -> List[dict]:
+                        seed: int = 21, n_images: int = 256,
+                        data_style: str = "legacy") -> List[dict]:
     """RD points of trained checkpoints, for overlay on RD plots.
 
     The reference compares its multi-task codecs against a pretrained
@@ -141,7 +142,7 @@ def learned_baseline_rd(checkpoint_paths: Sequence[str], batch=None,
             from .data import SyntheticMultiTaskDataset, BatchLoader
             ds = SyntheticMultiTaskDataset(model.tasks, size=n_images,
                                            image_size=image_size,
-                                           seed=10 ** 6)
+                                           seed=10 ** 6, style=data_style)
             batches = list(BatchLoader(ds, batch_size, shuffle=False))
             batches = [jax.tree.map(jnp.asarray, b) for b in batches]
         else:

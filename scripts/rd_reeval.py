@@ -51,6 +51,9 @@ def main(argv=None):
                     help="evaluate the checkpoint closest to this step "
                          "instead of the latest (budget-matched ranking "
                          "across families that trained to different steps)")
+    ap.add_argument("--data-style", default="legacy",
+                    choices=["legacy", "clevr"],
+                    help="must match the style the runs were trained on")
     args = ap.parse_args(argv)
 
     from mmnc_tpu import analysis
@@ -63,12 +66,13 @@ def main(argv=None):
 
     full_val = prerender(SyntheticMultiTaskDataset(
         ["rgb", "depth_euclidean", "normal"], size=args.val_size,
-        image_size=256, seed=10 ** 6), "data/prerendered")
+        image_size=256, seed=10 ** 6, style=args.data_style),
+        "data/prerendered")
     # semantic rides its own 1-task prerender (same seed => same scenes)
     # so the 3-task cache from earlier rounds stays valid
     sem_val = prerender(SyntheticMultiTaskDataset(
-        ["semantic"], size=args.val_size, image_size=256, seed=10 ** 6),
-        "data/prerendered")
+        ["semantic"], size=args.val_size, image_size=256, seed=10 ** 6,
+        style=args.data_style), "data/prerendered")
     dev_val = DeviceResidentDataset(
         {**full_val.arrays, "semantic": sem_val.arrays["semantic"]})
     del full_val, sem_val
@@ -92,6 +96,7 @@ def main(argv=None):
         kind = (run.rsplit("-l", 1)[0])
         point = {"run": run, "kind": kind, "lmbda": hp.get("lmbda"),
                  "steps": step, "tasks": list(model.tasks),
+                 "data_style": args.data_style,
                  "n_images": len(loader) * args.batch_size}
         total_bytes = 0
         n_pix = 0

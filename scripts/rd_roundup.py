@@ -26,6 +26,8 @@ def main(argv=None):
     ap.add_argument("--in", dest="inp", default="artifacts/rd_paper.json")
     ap.add_argument("--out-dir", default="artifacts/rd_paper_plots")
     ap.add_argument("--min-steps", type=int, default=0)
+    ap.add_argument("--data-style", default="legacy",
+                    choices=["legacy", "clevr"])
     args = ap.parse_args(argv)
 
     from scripts import rd_plots
@@ -40,7 +42,8 @@ def main(argv=None):
         if steps:
             ckpts.append(steps[-1])
     if ckpts:
-        points = analysis.learned_baseline_rd(ckpts, batch_size=16)
+        points = analysis.learned_baseline_rd(ckpts, batch_size=16,
+                                              data_style=args.data_style)
         with open("artifacts/learned_baseline_rd.json", "w") as f:
             json.dump(points, f, indent=2)
         print(f"learned-baseline overlay: {len(points)} points ->"
