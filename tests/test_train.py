@@ -231,3 +231,54 @@ def test_fit_divergence_guard_aborts(tmp_path):
         fit(model, loader, None, epochs=50, run_name="diverge",
             out_dir=str(tmp_path), compute_metrics=False, log_images=False,
             log_every=1, checkpoint_every_epochs=1000)
+
+
+def test_extend_schedule_spikes_lr_on_resume(tmp_path, capsys):
+    """SGDR-restart hazard regression (DESIGN.md round 3/4): resuming with
+    extend_schedule=True re-horizons the cosine decay, which jumps the LR
+    back toward peak at the resume step. That spike is the mechanism that
+    blew up mixed-l0.001 (normal-head mse 1e26); the sweep therefore pairs
+    --extend with clip_norm=5.0. This pins the schedule semantics: without
+    extend the horizon is preserved (no spike), with extend the LR at the
+    resume step is restored to near-peak."""
+    import optax
+    from mmnc_tpu.train.loop import fit
+    from mmnc_tpu.data import SyntheticMultiTaskDataset, BatchLoader
+
+    def cosine_schedule(peak, total_steps):
+        # same construction as train.state.create_train_state
+        return optax.cosine_decay_schedule(
+            init_value=peak, decay_steps=total_steps, alpha=1e-8 / peak)
+
+    model = build_model(1, ["mono"], latent_channels=8, conv_channels=4,
+                        lmbda=1e-2, learning_rate_main=1e-4)
+    ds = SyntheticMultiTaskDataset(["mono"], size=4, image_size=256)
+    loader = BatchLoader(ds, batch_size=2, shuffle=False)
+
+    # phase 1: 8-step horizon, trained to completion + checkpointed
+    fit(model, loader, None, epochs=4, run_name="sgdr", out_dir=str(tmp_path),
+        compute_metrics=False, log_images=False, log_every=100,
+        checkpoint_every_epochs=1, max_steps=8)
+
+    old = cosine_schedule(1e-4, total_steps=8)
+    new = cosine_schedule(1e-4, total_steps=80)
+    # at step 8 the original schedule has decayed to ~0 (eta_min regime);
+    # the re-horizoned one is back near peak — that's the spike
+    assert float(old(8)) < 1e-5
+    assert float(new(8)) > 5e-5
+
+    # phase 2a: resume WITHOUT extend — horizon must be preserved
+    fit(model, loader, None, epochs=40, run_name="sgdr",
+        out_dir=str(tmp_path), resume=True, compute_metrics=False,
+        log_images=False, log_every=100, checkpoint_every_epochs=1000,
+        max_steps=80)
+    kept = capsys.readouterr().out
+    assert "keeping the original LR-schedule horizon" in kept
+
+    # phase 2b: resume WITH extend — horizon re-set (the spike path)
+    fit(model, loader, None, epochs=40, run_name="sgdr",
+        out_dir=str(tmp_path), resume=True, extend_schedule=True,
+        compute_metrics=False, log_images=False, log_every=100,
+        checkpoint_every_epochs=1000, max_steps=80, clip_norm=5.0)
+    extended = capsys.readouterr().out
+    assert "extending the LR-schedule horizon 8 -> 80" in extended
