@@ -56,8 +56,16 @@ def restore_checkpoint(path: str, abstract_state=None
     if abstract_state is not None:
         abstract = {"step": 0, "params": abstract_state.params,
                     "opt_state": abstract_state.opt_state}
+        # a concrete sharding makes the restore platform-independent: a
+        # TPU-saved checkpoint carries TPU device metadata that orbax
+        # refuses to resolve on a CPU process unless told where to put
+        # the arrays (callers restore before any mesh sharding, so
+        # single-device is always the right target here)
+        dev = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
         abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype,
+                sharding=getattr(x, "sharding", None) or dev)
             if hasattr(x, "shape") else x, abstract)
         payload = ckptr.restore(os.path.join(path, "state"), abstract)
     else:

@@ -14,12 +14,17 @@ import jax
 import jax.numpy as jnp
 
 
-def main(ckpt_path: str, out_path: str):
+def main(ckpt_path: str, out_path: str, data_style: str = "auto"):
     from mmnc_tpu.utils.checkpoint import (restore_checkpoint,
                                            rebuild_model_from_checkpoint)
     from mmnc_tpu.train.state import create_train_state
     from mmnc_tpu.data import SyntheticMultiTaskDataset, BatchLoader
     from mmnc_tpu import analysis
+
+    if data_style == "auto":
+        # the sweep keeps clevr-style runs under runs/rd_clevr/...; eval
+        # must match the training distribution or the metrics are bogus
+        data_style = "clevr" if "clevr" in ckpt_path else "legacy"
 
     model, hp = rebuild_model_from_checkpoint(ckpt_path)
     variables = model.init(jax.random.PRNGKey(0),
@@ -30,12 +35,12 @@ def main(ckpt_path: str, out_path: str):
     tables = model.update_bottleneck_values(variables)
 
     ds = SyntheticMultiTaskDataset(model.tasks, size=64, image_size=256,
-                                   seed=10 ** 6)
+                                   seed=10 ** 6, style=data_style)
     batch = jax.tree.map(jnp.asarray,
                          next(iter(BatchLoader(ds, 16, shuffle=False))))
 
     summary = {"checkpoint": ckpt_path, "step": int(payload["step"]),
-               "hyper_parameters": hp}
+               "data_style": data_style, "hyper_parameters": hp}
 
     # 1. check_bpp
     summary["check_bpp"] = analysis.check_bpp(model, variables, tables, batch)
@@ -97,4 +102,5 @@ def main(ckpt_path: str, out_path: str):
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2
-         else "flagship_eval.json")
+         else "flagship_eval.json",
+         sys.argv[3] if len(sys.argv) > 3 else "auto")
