@@ -132,7 +132,7 @@ def encode_with_indexes(symbols, indexes, table) -> bytes:
     cdfs, lengths, offsets = _prep(table)
     # worst case: every symbol escapes with ~64 bypass bits
     capacity = 16 * len(symbols) + 64
-    out = np.zeros(capacity, np.uint8)
+    out = np.empty(capacity, np.uint8)  # encoder overwrites; no memset
     n = fn(
         _ptr(symbols, s_t), _ptr(indexes, i_t), len(symbols),
         _i32ptr(cdfs), cdfs.shape[1], _i32ptr(lengths), _i32ptr(offsets),

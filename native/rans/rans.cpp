@@ -24,12 +24,6 @@ constexpr uint64_t kRansL = 1ull << 31;  // lower bound of the state interval
 constexpr uint32_t kBypassPrecision = 4; // raw-bit chunk size
 constexpr uint32_t kMaxBypassVal = (1u << kBypassPrecision) - 1;
 
-struct RansSym {
-  uint32_t start;   // cdf[value]
-  uint32_t range;   // cdf[value+1] - cdf[value]
-  bool bypass;      // raw-bits mode: start = value, range = #bits
-};
-
 inline void enc_renorm(uint64_t &x, std::vector<uint32_t> &out, uint64_t x_max) {
   while (x >= x_max) {
     out.push_back(static_cast<uint32_t>(x));
@@ -115,10 +109,17 @@ int64_t encode_impl(const SymT *symbols, const IdxT *indexes, int64_t n,
                     const int32_t *cdfs, int64_t cdf_stride,
                     const int32_t *cdf_lengths, const int32_t *offsets,
                     uint8_t *out, int64_t out_capacity) {
-  std::vector<RansSym> syms;
-  syms.reserve(static_cast<size_t>(n) + 16);
+  // Single reverse pass: rANS encodes in stream-reverse order, so walk the
+  // symbols backward and, inside each symbol's bypass group, replay its
+  // forward emission order [value, count-unary..., chunks...] reversed.
+  // No intermediate RansSym vector — the working set stays L1/L2-sized
+  // regardless of n (the two-pass variant built a 12·n-byte vector and then
+  // walked it backward, which thrashed the cache on large batches).
+  uint64_t x = kRansL;
+  std::vector<uint32_t> words;
+  words.reserve(static_cast<size_t>(n) / 2 + 4);
 
-  for (int64_t i = 0; i < n; ++i) {
+  for (int64_t i = n - 1; i >= 0; --i) {
     const int32_t idx = static_cast<int32_t>(indexes[i]);
     const int32_t *cdf = cdfs + idx * cdf_stride;
     const int32_t max_value = cdf_lengths[idx] - 2;
@@ -133,32 +134,24 @@ int64_t encode_impl(const SymT *symbols, const IdxT *indexes, int64_t n,
       value = max_value;
     }
 
-    syms.push_back({static_cast<uint32_t>(cdf[value]),
-                    static_cast<uint32_t>(cdf[value + 1] - cdf[value]), false});
-
     if (value == max_value) {
-      // bypass: emit chunk count (unary in base-kMaxBypassVal), then chunks
       uint32_t n_bypass = 0;
       while ((raw_val >> (n_bypass * kBypassPrecision)) != 0) ++n_bypass;
-      uint32_t val = n_bypass;
-      while (val >= kMaxBypassVal) {
-        syms.push_back({kMaxBypassVal, kBypassPrecision, true});
-        val -= kMaxBypassVal;
-      }
-      syms.push_back({val, kBypassPrecision, true});
-      for (uint32_t j = 0; j < n_bypass; ++j) {
+      // chunks were emitted forward j=0..n_bypass-1 -> encode j reversed
+      for (uint32_t j = n_bypass; j-- > 0;) {
         uint32_t chunk = (raw_val >> (j * kBypassPrecision)) & kMaxBypassVal;
-        syms.push_back({chunk, kBypassPrecision, true});
+        enc_put_bits(x, words, chunk, kBypassPrecision);
       }
+      // count unary was emitted as kMaxBypassVal x k then the remainder ->
+      // encode remainder first, then the k full chunks
+      uint32_t k = n_bypass / kMaxBypassVal;
+      enc_put_bits(x, words, n_bypass - k * kMaxBypassVal, kBypassPrecision);
+      for (uint32_t j = 0; j < k; ++j)
+        enc_put_bits(x, words, kMaxBypassVal, kBypassPrecision);
     }
-  }
 
-  uint64_t x = kRansL;
-  std::vector<uint32_t> words;
-  words.reserve(syms.size() / 2 + 4);
-  for (auto it = syms.rbegin(); it != syms.rend(); ++it) {
-    if (it->bypass) enc_put_bits(x, words, it->start, it->range);
-    else enc_put(x, words, it->start, it->range);
+    enc_put(x, words, static_cast<uint32_t>(cdf[value]),
+            static_cast<uint32_t>(cdf[value + 1] - cdf[value]));
   }
   // flush 64-bit state; pushed high-then-low so that after the reversal
   // below the decoder reads (low, high) as its first two words
