@@ -37,6 +37,9 @@ def parse_args(argv):
     p.add_argument("-lra", "--learning-rate-aux", default=1e-3, type=float)
     p.add_argument("--image-size", default=256, type=int)
     p.add_argument("--train-size", default=1024, type=int)
+    p.add_argument("--data-style", default="legacy",
+                   choices=("legacy", "clevr"),
+                   help="synthetic render style (see cli/train.py)")
     p.add_argument("--val-size", default=64, type=int)
     p.add_argument("--max-steps", default=None, type=int)
     p.add_argument("--out-dir", default="runs")
