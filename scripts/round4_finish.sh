@@ -86,6 +86,20 @@ elif [ "$S4" -lt 10240 ]; then
     --only shared4 --steps 12000 --lmbdas 0.1
 fi
 
+# C1b: top up P1core stragglers (P1core's 19000s budget runs out around
+# single-depth/single-normal; a matched-budget ranking wants all six at
+# ~12k). One sweep call = one prerender upload for every straggler.
+strag=""
+for fam in mixed shared disjoint single-rgb single-depth_euclidean single-normal; do
+  ls_step=$(last_step "$fam-l0.1"); ls_step=${ls_step:-0}
+  [ "$ls_step" -lt 11000 ] && strag="$strag,$fam"
+done
+strag=${strag#,}
+if [ -n "$strag" ]; then
+  run_step 5400 2400 python scripts/rd_paper_sweep.py $SWEEP_COMMON \
+    --only "$strag" --steps 12000 --lmbdas 0.1
+fi
+
 # C2: THE deliverable — budget-matched full-val re-eval at step 12000
 run_step 1500 4200 python scripts/rd_reeval.py --run-dir "$RUNS" \
   --data-style clevr --at-step 12000 \
