@@ -171,3 +171,39 @@ def test_narrow_decode_overflow_raises():
         rans.decode_with_indexes(data, indexes, table), symbols)
     with pytest.raises(OverflowError):
         rans.decode_with_indexes(data, indexes, table, out_dtype=np.int16)
+
+
+def test_golden_stream_pinned():
+    """Pin the exact stream bytes for a fixed input.
+
+    The encoder was rewritten from two-pass to single-pass in round 4 with
+    a bit-identical-stream guarantee; this digest freezes the on-disk
+    format so any future encoder change that silently alters the byte
+    layout (and would orphan saved .mmnc containers) fails loudly."""
+    import hashlib
+
+    rng = np.random.default_rng(1234)
+    cdfs, lengths = [], []
+    for n in (6, 18, 40):
+        pmf = rng.random(n) + 1e-4
+        pmf = pmf / pmf.sum() * (1 - 1e-6)
+        cdf = pmf_to_quantized_cdf_np(np.concatenate([pmf, [1e-6]]))
+        cdfs.append(cdf)
+        lengths.append(len(cdf))
+    m = max(lengths)
+    mat = np.zeros((3, m), np.int32)
+    for r, c in enumerate(cdfs):
+        mat[r, :len(c)] = c
+    table = CdfTable(cdfs=mat, cdf_lengths=np.asarray(lengths, np.int32),
+                     offsets=np.asarray([-3, 0, 5], np.int32))
+    n = 10_000
+    idx = rng.integers(0, 3, n).astype(np.int32)
+    sym = rng.integers(-10, 50, n).astype(np.int32)
+    out_pos = np.arange(0, n, 97)  # deterministic multi-chunk bypass outliers
+    sym[out_pos] = (np.arange(len(out_pos)) * 7919) % 60001 - 30000
+
+    data = rans.encode_with_indexes(sym, idx, table)
+    assert np.array_equal(rans.decode_with_indexes(data, idx, table), sym)
+    assert len(data) == 23184
+    assert (hashlib.sha256(data).hexdigest()
+            == "6b97949d2e92d3c8862866115a8f02c6e60f463b69bfe726105bd99ce8d4d925")
