@@ -38,7 +38,9 @@ run_step() {
   if [ "$avail" -le 120 ]; then say "SKIP (need ${need_after}s after): $*"; return 1; fi
   [ "$tmo" -gt "$avail" ] && tmo=$avail
   say "RUN (timeout ${tmo}s): $*"
-  timeout -k 60 "$tmo" "$@"
+  timeout -k 60 "$tmo" "$@" &
+  echo $! > /tmp/round4_finish_child.pid   # stall guard watches this
+  wait $!
   local rc=$?
   say "done rc=$rc: $1"
   return $rc
@@ -69,6 +71,11 @@ if [ -n "$OUTER" ] && kill -0 "$OUTER" 2>/dev/null; then
 fi
 say "drive stopped; $(left)s of wall left"
 
+# a second stall-guard instance watches the close-out's own child steps
+# (tunnel hangs don't care which script launched the python)
+nohup setsid bash scripts/stall_guard.sh "$LOG" \
+  /tmp/round4_finish_child.pid > /tmp/stall_guard_finish.log 2>&1 &
+
 # ---- Phase C: prioritized close-out ------------------------------------
 SWEEP_COMMON="--out artifacts/rd_clevr.json --run-dir $RUNS --data-style clevr \
   --batch-size 64 --lr 1e-4 --steps-per-call 8 \
@@ -77,14 +84,18 @@ SWEEP_COMMON="--out artifacts/rd_clevr.json --run-dir $RUNS --data-style clevr \
 # C1: semantic family must exist (VERDICT items 3/5/6). If the drive never
 # reached P1sem, give shared4(+single-semantic) a bounded slot; if it
 # started but is short of the flagship bar (>=10k), top it up.
-S4=$(last_step "shared4-l0.1"); S4=${S4:-0}
-if [ "$S4" -eq 0 ]; then
-  run_step 5400 2700 python scripts/rd_paper_sweep.py $SWEEP_COMMON \
-    --only shared4,single-semantic --steps 12000 --lmbdas 0.1
-elif [ "$S4" -lt 10240 ]; then
-  run_step 5400 1800 python scripts/rd_paper_sweep.py $SWEEP_COMMON \
-    --only shared4 --steps 12000 --lmbdas 0.1
-fi
+for attempt in 1 2; do   # retry once: a tunnel hang mid-slot resumes from ckpt
+  S4=$(last_step "shared4-l0.1"); S4=${S4:-0}
+  if [ "$S4" -eq 0 ]; then
+    run_step 5400 2700 python scripts/rd_paper_sweep.py $SWEEP_COMMON \
+      --only shared4,single-semantic --steps 12000 --lmbdas 0.1 && break
+  elif [ "$S4" -lt 10240 ]; then
+    run_step 5400 1800 python scripts/rd_paper_sweep.py $SWEEP_COMMON \
+      --only shared4 --steps 12000 --lmbdas 0.1 && break
+  else
+    break
+  fi
+done
 
 # C1b: top up P1core stragglers (P1core's 19000s budget runs out around
 # single-depth/single-normal; a matched-budget ranking wants all six at
