@@ -56,12 +56,14 @@ def main():
         mf = {}
         for task, fams in (summ.get("tasks") or {}).items():
             for fam, d in fams.items():
-                if isinstance(d, dict) and "monotone_fraction" in d:
+                # a 1-point "curve" is trivially monotone — don't count it
+                if (isinstance(d, dict) and "monotone_fraction" in d
+                        and len(d.get("points", [])) >= 2):
                     mf[f"{task}/{fam}"] = d["monotone_fraction"]
         if mf:
             frac = sum(1 for v in mf.values() if v == 1.0) / len(mf)
-            print(f"Monotone RD curves: {frac:.0%} of "
-                  f"{len(mf)} (task,family) curves\n")
+            print(f"Monotone RD curves: {frac:.0%} of {len(mf)} "
+                  f"(task,family) curves with >=2 rate points\n")
 
     if fl:
         vm = fl.get("val_metrics", {})
