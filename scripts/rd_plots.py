@@ -74,6 +74,44 @@ def interp_psnr(curve, bpp):
     return float(np.interp(bpp, xs, ys))
 
 
+def at_matched_lambda(points, tasks):
+    """{lambda: {avg_psnr, ranking, ...}} comparing the four paper kinds at
+    the same lambda, averaged over the tasks where EVERY kind has a point
+    (restricting to common tasks keeps the average fair — singles cover one
+    task each, and tasks differ in difficulty). bpps differ across kinds at
+    a given lambda, so this is a proxy for the paper's matched-rate
+    ordering, not a replacement."""
+    ml = {}
+    for p in points:
+        if p.get("stale") or p.get("lmbda") is None:
+            continue
+        kind = "single" if p["kind"].startswith("single-") else p["kind"]
+        if kind not in KIND_ORDER:
+            continue
+        for task in p.get("tasks", []):
+            if task == "semantic" or task not in tasks:
+                continue
+            v = p.get(f"{task}/psnr")
+            if v is not None:
+                ml.setdefault(p["lmbda"], {}).setdefault(kind, {})[task] = v
+    out = {}
+    for lm, kinds in sorted(ml.items()):
+        common = [t for t in tasks if t != "semantic"
+                  and all(t in kinds.get(k, {}) for k in KIND_ORDER)]
+        entry = {"kinds_present": [k for k in KIND_ORDER if k in kinds],
+                 "tasks_compared": common}
+        if common:
+            avg = {k: float(np.mean([kinds[k][t] for t in common]))
+                   for k in KIND_ORDER}
+            ranked = sorted(avg, key=avg.get, reverse=True)
+            entry["avg_psnr"] = avg
+            entry["ranking"] = ranked
+            entry["in_paper_order"] = (
+                ranked == [k for k in KIND_ORDER if k in ranked])
+        out[str(lm)] = entry
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--in", dest="inp", default="artifacts/rd_paper.json")
@@ -182,6 +220,15 @@ def main(argv=None):
     ranked = sorted(avg, key=avg.get, reverse=True)
     summary["ordering"]["ranking"] = ranked
     summary["ordering"]["paper_ranking"] = KIND_ORDER
+    # Secondary, clearly-labeled proxy: ordering at matched LAMBDA (same
+    # training tradeoff, different achieved rates). The paper's headline
+    # comparison is at matched RATE (above) — but matched-rate sampling
+    # needs every curve to SPAN the single models' bpps, impossible when a
+    # sweep has one lambda per family (single-point curves span nothing).
+    # This block fires in that regime and is reported separately; it never
+    # feeds matches_paper.
+    summary["ordering"]["at_matched_lambda"] = at_matched_lambda(
+        points, tasks)
     # the paper's headline claim ranks FOUR families (paper §V-A Fig. 4);
     # a subset match is reported as partial, never as matches_paper
     full = set(ranked) >= set(KIND_ORDER)

@@ -67,6 +67,42 @@ def test_end_to_end_ordering_and_artifacts(sweep_points, tmp_path):
         assert all(c["monotone_fraction"] == 1.0 for c in mono.values())
 
 
+def test_matched_lambda_ordering(sweep_points, tmp_path):
+    out = tmp_path / "plots_ml"
+    rd_plots.main(["--in", sweep_points, "--out-dir", str(out)])
+    summary = json.loads((out / "summary.json").read_text())
+    ml = summary["ordering"]["at_matched_lambda"]
+    for lm in ("0.1", "0.01", "0.001"):
+        assert ml[lm]["tasks_compared"] == ["normal", "rgb"]
+        assert ml[lm]["ranking"] == ["mixed", "shared", "disjoint", "single"]
+        assert ml[lm]["in_paper_order"] is True
+
+
+def test_matched_lambda_fires_on_single_lambda_sweeps(tmp_path):
+    """One lambda per family -> single-point curves span no rate range, so
+    the matched-rate ranking is empty; the matched-lambda proxy must still
+    produce a full 4-kind ordering (and matches_paper must stay false —
+    the proxy never feeds the headline gate)."""
+    pts = []
+    for kind, psnr in [("mixed", 32.0), ("shared", 31.0),
+                       ("disjoint", 30.0)]:
+        pts.append({"run": f"{kind}-l0.1", "kind": kind, "lmbda": 0.1,
+                    "tasks": ["rgb"], "actual_bpp": 0.1 + psnr / 1000,
+                    "rgb/psnr": psnr, "rgb/mse255": 1.0})
+    pts.append({"run": "single-rgb-l0.1", "kind": "single-rgb",
+                "lmbda": 0.1, "tasks": ["rgb"], "actual_bpp": 0.3,
+                "rgb/psnr": 28.0, "rgb/mse255": 1.0})
+    path = tmp_path / "pts.json"
+    path.write_text(json.dumps(pts))
+    out = tmp_path / "plots"
+    rd_plots.main(["--in", str(path), "--out-dir", str(out)])
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["ordering"]["matches_paper"] is False
+    ml = summary["ordering"]["at_matched_lambda"]["0.1"]
+    assert ml["ranking"] == ["mixed", "shared", "disjoint", "single"]
+    assert ml["in_paper_order"] is True
+
+
 def test_out_of_range_matched_samples_are_skipped(tmp_path):
     """A multi-task curve that doesn't span a single model's bpp must not
     be scored with endpoint extrapolation (round-2 advisor): the sample is
