@@ -10,8 +10,11 @@
 #
 #   1. wait for the in-flight P1sem (shared4 + single-semantic) to finish
 #   2. one sweep process (one HBM upload) over the missing lambda-0.1
-#      families in priority order: shared top-up -> disjoint -> single-rgb
-#      -> single-depth -> single-normal, 12k steps each, until T_STOP
+#      families in priority order: disjoint -> single-rgb -> single-depth
+#      -> single-normal, 12k steps each, until T_STOP. The shared top-up
+#      (8960 -> 12k) is deliberately NOT here: it already qualifies for the
+#      watchdog's C1b straggler slot, and the ranking needs disjoint +
+#      single-rgb more than it needs shared's last 3k steps
 #
 # The round4_finish.sh watchdog is left in charge of T_STOP, the stall
 # guard keeps watching /tmp/round4_phase.pid, and interrupted families
@@ -38,7 +41,7 @@ for attempt in 1 2 3; do
     --batch-size 64 --lr 1e-4 --steps-per-call 8 \
     --val-every-epochs 25 --checkpoint-every-epochs 20 \
     --steps 12000 --lmbdas 0.1 \
-    --only shared,disjoint,single-rgb,single-depth_euclidean,single-normal &
+    --only disjoint,single-rgb,single-depth_euclidean,single-normal &
   echo $! > /tmp/round4_phase.pid
   wait $!
   rc=$?
