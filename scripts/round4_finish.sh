@@ -104,8 +104,9 @@ strag=""
 for fam in mixed shared disjoint single-rgb single-depth_euclidean single-normal; do
   ls_step=$(last_step "$fam-l0.1"); ls_step=${ls_step:-0}
   # only families that can plausibly cross the --min-steps 11000 bar within
-  # the slot; a family at 2k steps would eat the window and still be excluded
-  [ "$ls_step" -ge 8000 ] && [ "$ls_step" -lt 11000 ] && strag="$strag,$fam"
+  # the slot (2400s - ~900s upload leaves ~8k steps at 5.5/s, shared among
+  # stragglers); a family at 2k steps would eat the window and still miss
+  [ "$ls_step" -ge 7000 ] && [ "$ls_step" -lt 11000 ] && strag="$strag,$fam"
 done
 strag=${strag#,}
 if [ -n "$strag" ]; then
