@@ -53,6 +53,14 @@ def main():
                   f"**{' > '.join(r)}** "
                   f"(paper: Mixed > Shared > Disjoint > Single; "
                   f"matches_paper={mp})\n")
+        ml = o.get("at_matched_lambda") or {}
+        for lm, e in sorted(ml.items()):
+            if e.get("ranking") and len(e["ranking"]) == 4:
+                print(f"4-way ordering at matched lambda={lm} (proxy — "
+                      f"achieved rates differ; tasks "
+                      f"{','.join(e['tasks_compared'])}): "
+                      f"**{' > '.join(e['ranking'])}** "
+                      f"(in paper order: {e['in_paper_order']})\n")
         mf = {}
         for task, fams in (summ.get("tasks") or {}).items():
             for fam, d in fams.items():
