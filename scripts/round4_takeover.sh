@@ -31,11 +31,26 @@ CUR=$(cat /tmp/round4_phase.pid 2>/dev/null || true)
 echo "=== [takeover] waiting for current phase pid=${CUR:-none} $(date -u +%H:%M:%S)"
 while [ -n "$CUR" ] && kill -0 "$CUR" 2>/dev/null; do sleep 20; done
 
-for attempt in 1 2 3; do
+# The TPU backend has been flaky-unavailable since ~20:40 (attempt-1 SIGKILL
+# likely left the terminal session claim held). A failed sweep launch burns
+# ~13 min of prerender + ~25 min of backend-init hang; probe first so retry
+# latency is minutes, not 40.
+tpu_ok() {
+  timeout 150 python -c "import jax; jax.devices(); print('tpu ok')" \
+    >/dev/null 2>&1
+}
+
+fails=0
+while :; do
   [ -f /tmp/round4_stop ] && break
   left=$(( T_STOP - $(date +%s) - 90 ))
   [ "$left" -lt 300 ] && { echo "=== [P1cov] no wall left"; break; }
-  echo "=== [P1cov] attempt $attempt (timeout ${left}s) $(date -u +%H:%M:%S)"
+  if ! tpu_ok; then
+    echo "=== [P1cov] tpu probe dead, sleeping 240s $(date -u +%H:%M:%S)"
+    sleep 240
+    continue
+  fi
+  echo "=== [P1cov] launching (timeout ${left}s) $(date -u +%H:%M:%S)"
   timeout -k 60 "$left" python scripts/rd_paper_sweep.py \
     --out artifacts/rd_clevr.json --run-dir runs/rd_clevr --data-style clevr \
     --batch-size 64 --lr 1e-4 --steps-per-call 8 \
@@ -45,8 +60,10 @@ for attempt in 1 2 3; do
   echo $! > /tmp/round4_phase.pid
   wait $!
   rc=$?
-  echo "=== [P1cov] attempt $attempt done rc=$rc $(date -u +%H:%M:%S)"
+  echo "=== [P1cov] attempt done rc=$rc $(date -u +%H:%M:%S)"
   if [ $rc -eq 0 ] || [ $rc -eq 124 ]; then break; fi
+  fails=$(( fails + 1 ))
+  [ "$fails" -ge 4 ] && { echo "=== [P1cov] giving up after $fails crashes"; break; }
 done
 echo "=== [takeover] done; watchdog owns the rest $(date -u +%H:%M:%S)"
 } >> "$LOG" 2>&1
