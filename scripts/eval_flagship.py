@@ -8,10 +8,17 @@ import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_comp_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# tunnel-outage escape hatch: the axon TPU plugin ignores JAX_PLATFORMS,
+# so a dead tunnel would hang backend init; MMNC_FORCE_PLATFORM=cpu runs
+# the eval on the host instead (slow but correct)
+if os.environ.get("MMNC_FORCE_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MMNC_FORCE_PLATFORM"])
 
 
 def main(ckpt_path: str, out_path: str, data_style: str = "auto"):

@@ -54,7 +54,17 @@ def main(argv=None):
     ap.add_argument("--data-style", default="legacy",
                     choices=["legacy", "clevr"],
                     help="must match the style the runs were trained on")
+    ap.add_argument("--platform", default=None, choices=["cpu"],
+                    help="force the JAX platform — the axon TPU plugin "
+                         "ignores JAX_PLATFORMS, so this is the tunnel-"
+                         "outage fallback (slow but correct)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated run-name filter (e.g. "
+                         "'mixed-l0.1,shared-l0.1') — lets a degraded "
+                         "(CPU) eval cover the highest-value runs first")
     args = ap.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from mmnc_tpu import analysis
     from mmnc_tpu.data import (SyntheticMultiTaskDataset, BatchLoader,
@@ -77,9 +87,12 @@ def main(argv=None):
         {**full_val.arrays, "semantic": sem_val.arrays["semantic"]})
     del full_val, sem_val
 
+    only = set(args.only.split(",")) if args.only else None
     points = []
     for run_dir in sorted(glob.glob(os.path.join(args.run_dir, "*"))):
         run = os.path.basename(run_dir)
+        if only is not None and run not in only:
+            continue
         ckpt, step = latest_ckpt(run_dir, args.at_step)
         if ckpt is None:
             continue

@@ -12,6 +12,11 @@
 #   HARD_END  every TPU process dead (the round driver runs bench.py after
 #             the snapshot; TPU access is exclusive per process)
 #
+# TPU-outage resilience (the tunnel died ~20:40 and may or may not return):
+# every TPU-dependent step is gated on a 150s jax.devices() probe; the eval
+# steps fall back to --platform cpu / MMNC_FORCE_PLATFORM=cpu so the
+# matched-budget artifacts exist even if the tunnel never recovers.
+#
 # Each step is budget-guarded: it only starts if enough wall remains for the
 # steps that outrank it. Progress: tail /tmp/round4_finish.log.
 set -u
@@ -24,6 +29,10 @@ RUNS=runs/rd_clevr
 
 say() { echo "[$(date -u +%H:%M:%S)] $*"; }
 left() { echo $(( HARD_END - $(date +%s) )); }
+
+tpu_ok() {  # the axon plugin hangs backend init when the tunnel is down
+  timeout 150 python -c "import jax; jax.devices()" >/dev/null 2>&1
+}
 
 last_step() {  # last_step <run-name> -> newest checkpoint step (0 if none)
   ls "$RUNS/$1/checkpoints" 2>/dev/null | sed -n 's/^step_//p' | sort -n | tail -1
@@ -60,13 +69,17 @@ if [ -n "$OUTER" ] && kill -0 "$OUTER" 2>/dev/null; then
   say "stopping drive (outer=$OUTER phase=${PHASE:-?})"
   kill "$OUTER" 2>/dev/null
   pkill -TERM -P "$OUTER" 2>/dev/null   # children of the outer script only
-  [ -n "$PHASE" ] && kill "$PHASE" 2>/dev/null
+fi
+# the phase may be orphaned from an earlier takeover swap — kill it by pid
+# regardless of the outer's liveness
+if [ -n "$PHASE" ] && kill -0 "$PHASE" 2>/dev/null; then
+  kill "$PHASE" 2>/dev/null
   # SIGTERM -> train loop saves a checkpoint then SystemExit; give it time
   for _ in $(seq 48); do
-    [ -n "$PHASE" ] && kill -0 "$PHASE" 2>/dev/null || break
+    kill -0 "$PHASE" 2>/dev/null || break
     sleep 5
   done
-  [ -n "$PHASE" ] && kill -9 "$PHASE" 2>/dev/null
+  kill -0 "$PHASE" 2>/dev/null && kill -9 "$PHASE" 2>/dev/null
   sleep 15
 fi
 say "drive stopped; $(left)s of wall left"
@@ -81,9 +94,12 @@ SWEEP_COMMON="--out artifacts/rd_clevr.json --run-dir $RUNS --data-style clevr \
   --batch-size 64 --lr 1e-4 --steps-per-call 8 \
   --val-every-epochs 25 --checkpoint-every-epochs 20"
 
+if tpu_ok; then TPU_LIVE=1; say "tpu probe: LIVE"; else TPU_LIVE=0; say "tpu probe: DEAD"; fi
+
 # C1: semantic family must exist (VERDICT items 3/5/6). If the drive never
 # reached P1sem, give shared4(+single-semantic) a bounded slot; if it
 # started but is short of the flagship bar (>=10k), top it up.
+if [ "$TPU_LIVE" = 1 ]; then
 for attempt in 1 2; do   # retry once: a tunnel hang mid-slot resumes from ckpt
   S4=$(last_step "shared4-l0.1"); S4=${S4:-0}
   if [ "$S4" -eq 0 ]; then
@@ -97,15 +113,12 @@ for attempt in 1 2; do   # retry once: a tunnel hang mid-slot resumes from ckpt
   fi
 done
 
-# C1b: top up P1core stragglers (P1core's 19000s budget runs out around
-# single-depth/single-normal; a matched-budget ranking wants all six at
-# ~12k). One sweep call = one prerender upload for every straggler.
+# C1b: top up P1core stragglers so they cross the --min-steps 11000 bar.
 strag=""
 for fam in mixed shared disjoint single-rgb single-depth_euclidean single-normal; do
   ls_step=$(last_step "$fam-l0.1"); ls_step=${ls_step:-0}
-  # only families that can plausibly cross the --min-steps 11000 bar within
-  # the slot (2400s - ~900s upload leaves ~8k steps at 5.5/s, shared among
-  # stragglers); a family at 2k steps would eat the window and still miss
+  # only families that can plausibly cross within the slot (2400s - ~900s
+  # upload leaves ~8k steps at 5.5/s, shared among stragglers)
   [ "$ls_step" -ge 7000 ] && [ "$ls_step" -lt 11000 ] && strag="$strag,$fam"
 done
 strag=${strag#,}
@@ -113,13 +126,24 @@ if [ -n "$strag" ]; then
   run_step 5400 2400 python scripts/rd_paper_sweep.py $SWEEP_COMMON \
     --only "$strag" --steps 12000 --lmbdas 0.1
 fi
+else
+  say "SKIP C1/C1b training slots: tpu dead"
+fi
 
-# C2: THE deliverable — budget-matched full-val re-eval at step 12000
-run_step 1500 4200 python scripts/rd_reeval.py --run-dir "$RUNS" \
-  --data-style clevr --at-step 12000 \
-  --out artifacts/rd_clevr_eval_at12k.json
+# C2: THE deliverable — budget-matched full-val re-eval at step 12000.
+# rd_reeval writes incrementally per run, so a timeout keeps finished points.
+if tpu_ok; then
+  run_step 1500 4200 python scripts/rd_reeval.py --run-dir "$RUNS" \
+    --data-style clevr --at-step 12000 \
+    --out artifacts/rd_clevr_eval_at12k.json
+else
+  say "C2 on CPU fallback (tpu dead)"
+  run_step 900 5400 python scripts/rd_reeval.py --run-dir "$RUNS" \
+    --data-style clevr --at-step 12000 --platform cpu \
+    --out artifacts/rd_clevr_eval_at12k.json
+fi
 
-# C3: plots + honest 4-way ranking (min-steps filter)
+# C3: plots + honest 4-way ranking (min-steps filter) — CPU, always runs
 run_step 900 900 python scripts/rd_roundup.py --run-dir "$RUNS" \
   --data-style clevr --in artifacts/rd_clevr_eval_at12k.json \
   --out-dir artifacts/rd_clevr_plots --min-steps 11000
@@ -128,17 +152,27 @@ run_step 900 900 python scripts/rd_roundup.py --run-dir "$RUNS" \
 fl=$(ls -d "$RUNS"/shared4-l0.1/checkpoints/step_* 2>/dev/null \
      | sort -t_ -k2 -n | tail -1)
 if [ -n "${fl:-}" ]; then
-  run_step 600 1500 python scripts/eval_flagship.py "$fl" \
-    artifacts/flagship_eval.json
+  if tpu_ok; then
+    run_step 600 1500 python scripts/eval_flagship.py "$fl" \
+      artifacts/flagship_eval.json
+  else
+    say "C4 on CPU fallback (tpu dead)"
+    run_step 600 1800 env MMNC_FORCE_PLATFORM=cpu \
+      python scripts/eval_flagship.py "$fl" artifacts/flagship_eval.json
+  fi
 fi
 
 # C5-C8: solo perf window (the box is finally quiet) — these produce the
-# VERDICT item 7/9 artifacts and benefit from the single-pass rANS encode
-run_step 2100 1200 python scripts/profile_roundtrip.py --batch-size 512 \
-  --out artifacts/profile_roundtrip.json
-run_step 1500 900 python scripts/measure_compress_breakdown.py
-run_step 600 900 python scripts/deconv_anomaly_matrix.py
-run_step 120 900 python bench.py
+# VERDICT item 7/9 artifacts and need the real chip; skip fast when dead
+if tpu_ok; then
+  run_step 2100 1200 python scripts/profile_roundtrip.py --batch-size 512 \
+    --out artifacts/profile_roundtrip.json
+  run_step 1500 900 python scripts/measure_compress_breakdown.py
+  run_step 600 900 python scripts/deconv_anomaly_matrix.py
+  run_step 120 900 python bench.py
+else
+  say "SKIP C5-C8 perf window: tpu dead"
+fi
 
 say "close-out COMPLETE with $(left)s to spare"
 touch /tmp/round4_finish_done
