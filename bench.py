@@ -108,7 +108,32 @@ def measure_tpu_mps(batch_size=512, image_size=256, iters=8,
     raise RuntimeError("all batch sizes failed")
 
 
+def _wait_for_backend(max_wait_s=900):
+    """The axon tunnel sometimes goes UNAVAILABLE for a while (a SIGKILLed
+    TPU python leaves the terminal session claim held) and backend init then
+    HANGS ~25 min before raising — so probe in a subprocess with a timeout
+    and retry until the tunnel answers or the budget runs out."""
+    import subprocess
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=150, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("backend probe never succeeded; proceeding anyway",
+                  file=sys.stderr)
+            return
+        print("backend unavailable, retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_backend()
     # headline = the TPU-native fast path (bf16 activations); the f32 path
     # is measured and reported alongside. Both code real rANS bitstreams
     # whose decode is bit-exact vs the model's own eval forward.
