@@ -40,7 +40,12 @@ def check_points(path, run_root, fix=False):
             continue
         actual = newest_step(os.path.join(run_root, run))
         if actual is None:
-            problems.append(f"{path}: {run} has no checkpoints on disk")
+            # an environment reset can orphan an artifact from its run dir;
+            # points that declare the loss are honest history, not drift
+            tag = ("note(checkpoints_lost) " if p.get("checkpoints_lost")
+                   else "")
+            problems.append(
+                f"{tag}{path}: {run} has no checkpoints on disk")
             continue
         recorded = p.get("steps")
         if recorded != actual:
@@ -66,18 +71,24 @@ def main(argv=None):
     ap.add_argument("--fix", action="store_true")
     args = ap.parse_args(argv)
 
-    run_root = os.path.join(REPO, "runs", "rd_paper")
     hard, soft = [], []
-    for name in ("artifacts/rd_paper_ext.json", "artifacts/rd_paper.json"):
-        probs, _ = check_points(os.path.join(REPO, name), run_root, args.fix)
+    for name, run_root in (
+            ("artifacts/rd_paper_ext.json", "runs/rd_paper"),
+            ("artifacts/rd_paper.json", "runs/rd_paper"),
+            ("artifacts/rd_clevr.json", "runs/rd_clevr")):
+        probs, _ = check_points(os.path.join(REPO, name),
+                                os.path.join(REPO, run_root), args.fix)
         for p in probs:
-            (soft if "tagged stale" in p or "@" in name else hard).append(p)
+            (soft if "tagged stale" in p or "note(checkpoints_lost)" in p
+             else hard).append(p)
 
     # eval artifacts evaluate a *specific* checkpoint — their steps need
     # not equal the newest, but the checkpoint they name must exist
     for name in ("artifacts/rd_paper_eval.json",
                  "artifacts/rd_paper_eval_at12k.json",
-                 "artifacts/rd_paper_eval_at40k.json"):
+                 "artifacts/rd_paper_eval_at40k.json",
+                 "artifacts/rd_clevr_eval.json",
+                 "artifacts/rd_clevr_eval_at12k.json"):
         path = os.path.join(REPO, name)
         if not os.path.exists(path):
             continue

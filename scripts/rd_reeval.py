@@ -109,6 +109,7 @@ def main(argv=None):
         kind = (run.rsplit("-l", 1)[0])
         point = {"run": run, "kind": kind, "lmbda": hp.get("lmbda"),
                  "steps": step, "tasks": list(model.tasks),
+                 "checkpoint": os.path.relpath(ckpt),
                  "data_style": args.data_style,
                  "n_images": len(loader) * args.batch_size}
         total_bytes = 0
