@@ -130,6 +130,18 @@ else
   say "SKIP C1/C1b training slots: tpu dead"
 fi
 
+# C1c: second semantic lambda (VERDICT item 5 wants a semantic RD curve
+# with >=2 lambda points; the drive only trains semantic at 0.1).
+# single-semantic is the cheap family (~14 steps/s); need_after keeps the
+# at-12k re-eval + plots + flagship + perf chain safe.
+if [ "$TPU_LIVE" = 1 ]; then
+  ss01=$(last_step "single-semantic-l0.01"); ss01=${ss01:-0}
+  if [ "$ss01" -lt 11000 ]; then
+    run_step 7000 2400 python scripts/rd_paper_sweep.py $SWEEP_COMMON \
+      --only single-semantic --steps 12000 --lmbdas 0.01
+  fi
+fi
+
 # C2: THE deliverable — budget-matched full-val re-eval at step 12000.
 # rd_reeval writes incrementally per run, so a timeout keeps finished points.
 if tpu_ok; then
