@@ -88,6 +88,16 @@ def main(argv=None):
     del full_val, sem_val
 
     only = set(args.only.split(",")) if args.only else None
+    # resume: a rerun (the close-out watchdog re-invokes after the drive)
+    # keeps points whose checkpoint step is unchanged instead of paying the
+    # full compress+forward eval again
+    existing = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                existing = {p["run"]: p for p in json.load(f)}
+        except (json.JSONDecodeError, KeyError):
+            existing = {}
     points = []
     for run_dir in sorted(glob.glob(os.path.join(args.run_dir, "*"))):
         run = os.path.basename(run_dir)
@@ -95,6 +105,12 @@ def main(argv=None):
             continue
         ckpt, step = latest_ckpt(run_dir, args.at_step)
         if ckpt is None:
+            continue
+        prev = existing.get(run)
+        if (prev is not None and prev.get("steps") == step
+                and prev.get("data_style") == args.data_style):
+            points.append(prev)
+            print(f"{run}: step {step} cached (unchanged checkpoint)")
             continue
         t0 = time.time()
         model, hp = rebuild_model_from_checkpoint(ckpt)
@@ -157,6 +173,8 @@ def main(argv=None):
               f"[{time.time() - t0:.0f}s]")
         with open(args.out, "w") as f:
             json.dump(points, f, indent=2)
+    with open(args.out, "w") as f:  # all-cached reruns still rewrite
+        json.dump(points, f, indent=2)
     print(f"wrote {args.out} with {len(points)} points")
 
 
