@@ -133,18 +133,34 @@ def main(argv=None):
             done = {p["run"]: p for p in json.load(f)}
 
     only = set(args.only.split(",")) if args.only else None
-    need_semantic = any(
-        "semantic" in tasks for kind, _, tasks, _, _ in CONFIGS
-        if only is None or kind in only)
+    # prerender/upload only the tasks the SELECTED configs touch — the
+    # HBM-resident cache is the big tenant (4-task uint16 train+val
+    # ~4.6 GB), and a semantic-only slot (single-semantic) doesn't need
+    # the 3-task arrays at all (saves both the multi-GB np.load on this
+    # 1-vCPU box and the upload)
+    tasks_needed = sorted(
+        {t for kind, _, tasks, _, _ in CONFIGS
+         if only is None or kind in only for t in tasks})
+    need_semantic = "semantic" in tasks_needed
+    need_base = any(t != "semantic" for t in tasks_needed)
 
-    print("prerendering dataset ...")
+    print(f"prerendering dataset ... (tasks: {','.join(tasks_needed)})")
     style = args.data_style
-    full_train = prerender(SyntheticMultiTaskDataset(
-        TASKS, size=args.train_size, image_size=args.image_size, seed=0,
-        style=style), "data/prerendered")
-    full_val = prerender(SyntheticMultiTaskDataset(
-        TASKS, size=args.val_size, image_size=args.image_size, seed=10 ** 6,
-        style=style), "data/prerendered")
+    train_arrays, val_arrays = {}, {}
+    if need_base:
+        # always prerender the full 3-task set (cache key identity with
+        # earlier rounds), then keep only what the selected configs use
+        full_train = prerender(SyntheticMultiTaskDataset(
+            TASKS, size=args.train_size, image_size=args.image_size, seed=0,
+            style=style), "data/prerendered")
+        full_val = prerender(SyntheticMultiTaskDataset(
+            TASKS, size=args.val_size, image_size=args.image_size,
+            seed=10 ** 6, style=style), "data/prerendered")
+        train_arrays = {t: a for t, a in full_train.arrays.items()
+                        if t in tasks_needed}
+        val_arrays = {t: a for t, a in full_val.arrays.items()
+                      if t in tasks_needed}
+        del full_train, full_val
     if need_semantic:
         # semantic rides a separate 1-task prerender (same seed => identical
         # scenes, the renderer derives every modality from one per-index rng)
@@ -155,19 +171,17 @@ def main(argv=None):
         sem_val = prerender(SyntheticMultiTaskDataset(
             ["semantic"], size=args.val_size, image_size=args.image_size,
             seed=10 ** 6, style=style), "data/prerendered")
-        full_train = type(full_train)(
-            {**full_train.arrays, "semantic": sem_train.arrays["semantic"]})
-        full_val = type(full_val)(
-            {**full_val.arrays, "semantic": sem_val.arrays["semantic"]})
+        train_arrays["semantic"] = sem_train.arrays["semantic"]
+        val_arrays["semantic"] = sem_val.arrays["semantic"]
         del sem_train, sem_val
     # one HBM-resident uint16 cache shared by every run: the host on this
     # box needs ~2.5 s per fancy-indexed batch vs ~124 ms per train step,
     # so batches must be gathered on-device (see data/device_cache.py)
     print("uploading dataset to device HBM ...")
     t0 = time.time()
-    dev_train = DeviceResidentDataset(full_train.arrays)
-    dev_val = DeviceResidentDataset(full_val.arrays)
-    del full_train, full_val
+    dev_train = DeviceResidentDataset(train_arrays)
+    dev_val = DeviceResidentDataset(val_arrays)
+    del train_arrays, val_arrays
     print(f"  uploaded in {time.time() - t0:.0f}s")
 
     lmbdas = ([float(x) for x in args.lmbdas.split(",")]
@@ -221,6 +235,7 @@ def main(argv=None):
             point = {"run": run, "kind": kind, "model": model_num,
                      "lmbda": lmbda, "tasks": list(tasks),
                      "data_style": args.data_style,
+                     "batch_size": args.batch_size,
                      "steps": int(state.step),
                      "estimated_bpp_train_geometry": None,
                      "wallclock_s": round(time.time() - t0, 1)}
