@@ -61,6 +61,7 @@ def fit(
     val_every_epochs: int = 1,
     extend_schedule: bool = False,
     clip_norm: Optional[float] = None,
+    remat: bool = False,
 ):
     """Train `model`; returns (state, last_val_logs)."""
     run_dir = os.path.join(out_dir, run_name)
@@ -127,10 +128,11 @@ def fit(
     if steps_per_call > 1:
         from .step import make_multi_train_step
         train_step = make_multi_train_step(
-            model, steps_per_call, compute_metrics=tm, clip_norm=clip_norm)
+            model, steps_per_call, compute_metrics=tm, clip_norm=clip_norm,
+            remat=remat)
     else:
         train_step = make_train_step(model, compute_metrics=tm,
-                                     clip_norm=clip_norm)
+                                     clip_norm=clip_norm, remat=remat)
     eval_step = make_eval_step(model, compute_metrics=compute_metrics)
 
     step_rng = jax.random.PRNGKey(seed + 1)

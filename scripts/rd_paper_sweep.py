@@ -73,6 +73,9 @@ def parse_args(argv):
                    help="global-norm gradient clip; generous enough to never "
                         "touch healthy steps, stops SGDR-restart blowups "
                         "(pass 0 to disable)")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the loss (recompute forward in "
+                        "backward) — fits shared4 batch 64 in v5e HBM")
     p.add_argument("--val-every-epochs", type=int, default=10)
     p.add_argument("--checkpoint-every-epochs", type=int, default=10)
     p.add_argument("--data-style", default="legacy",
@@ -219,7 +222,8 @@ def main(argv=None):
                     val_every_epochs=args.val_every_epochs,
                     extend_schedule=args.extend,
                     checkpoint_every_epochs=args.checkpoint_every_epochs,
-                    clip_norm=args.clip_norm or None)
+                    clip_norm=args.clip_norm or None,
+                    remat=args.remat)
             except Exception as e:  # noqa: BLE001 — skip, keep sweeping
                 print(f"!!! {run} failed: {type(e).__name__}: {e}")
                 if run in done:
@@ -236,6 +240,7 @@ def main(argv=None):
                      "lmbda": lmbda, "tasks": list(tasks),
                      "data_style": args.data_style,
                      "batch_size": args.batch_size,
+                     "remat": bool(args.remat),
                      "steps": int(state.step),
                      "estimated_bpp_train_geometry": None,
                      "wallclock_s": round(time.time() - t0, 1)}

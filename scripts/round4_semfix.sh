@@ -58,12 +58,17 @@ run_phase 4200 --only single-semantic --lmbdas 0.1,0.01 \
   --steps 12000 --batch-size 64
 say "S1 done rc=$? (steps: l0.1=$(last_step single-semantic-l0.1) l0.01=$(last_step single-semantic-l0.01))"
 
-for bs in 32 16; do
+# batch 64 + remat keeps the sample budget comparable with every other
+# family (remat is bit-identical to the plain step — test_train.py);
+# smaller batches are the fallback ladder if HBM still doesn't fit
+for cfg in "64 --remat" "32 --remat" "16"; do
+  set -- $cfg; bs=$1; shift
   s4=$(last_step "shared4-l0.1"); s4=${s4:-0}
   if [ "$s4" -ge 11000 ]; then break; fi
-  say "S2: shared4 lambda 0.1 at batch $bs"
-  run_phase 5400 --only shared4 --lmbdas 0.1 --steps 12000 --batch-size "$bs"
-  say "S2(batch $bs) done rc=$?"
+  say "S2: shared4 lambda 0.1 at batch $bs $*"
+  run_phase 5400 --only shared4 --lmbdas 0.1 --steps 12000 \
+    --batch-size "$bs" "$@"
+  say "S2(batch $bs $*) done rc=$?"
 done
 say "shared4 final step: $(last_step shared4-l0.1)"
 

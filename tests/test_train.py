@@ -282,3 +282,27 @@ def test_extend_schedule_spikes_lr_on_resume(tmp_path, capsys):
         checkpoint_every_epochs=1000, max_steps=80, clip_norm=5.0)
     extended = capsys.readouterr().out
     assert "extending the LR-schedule horizon 8 -> 80" in extended
+
+
+def test_remat_matches_plain_step(setup):
+    """remat=True (jax.checkpoint around the loss) must be a pure
+    memory/FLOPs trade: parameter updates and logged losses identical to
+    the plain step. Guards the shared4-OOM escape hatch (the 4-task
+    flagship config exhausts v5e HBM at batch 64 without it)."""
+    model, batch, variables = setup
+    out = {}
+    for remat in (False, True):
+        state = create_train_state(variables["params"], total_steps=10,
+                                   learning_rate_main=1e-3)
+        step = make_train_step(model, compute_metrics=False, donate=False,
+                               clip_norm=5.0, remat=remat)
+        for _ in range(2):
+            state, logs = step(state, batch, jax.random.PRNGKey(2))
+        out[remat] = (state.params, float(logs["train/loss"]))
+    assert out[False][1] == pytest.approx(out[True][1], rel=1e-6)
+    flat_a = flatten_dict(out[False][0])
+    flat_b = flatten_dict(out[True][0])
+    for k in flat_a:
+        np.testing.assert_allclose(np.asarray(flat_a[k]),
+                                   np.asarray(flat_b[k]), rtol=1e-6,
+                                   atol=1e-7, err_msg="/".join(k))
