@@ -144,6 +144,15 @@ def main(argv=None):
     if args.baseline and os.path.exists(args.baseline):
         with open(args.baseline) as f:
             baseline_pts = json.load(f)
+        # only overlay points whose checkpoint still exists: a leftover
+        # overlay from a deleted sweep (possibly on another data style)
+        # would silently contaminate the figures otherwise
+        stale = [p for p in baseline_pts
+                 if not os.path.exists(p.get("checkpoint", ""))]
+        if stale:
+            print(f"baseline overlay: dropping {len(stale)} stale point(s) "
+                  "whose checkpoints no longer exist")
+        baseline_pts = [p for p in baseline_pts if p not in stale]
 
     summary = {"bpp_key": args.bpp_key, "min_steps": args.min_steps,
                "run_budgets": {p["run"]: p.get("steps") for p in points

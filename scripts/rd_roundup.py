@@ -28,7 +28,17 @@ def main(argv=None):
     ap.add_argument("--min-steps", type=int, default=0)
     ap.add_argument("--data-style", default="legacy",
                     choices=["legacy", "clevr"])
+    ap.add_argument("--platform", default=None, choices=["cpu"],
+                    help="force the jax backend (the axon TPU plugin "
+                         "ignores JAX_PLATFORMS; a dead tunnel hangs "
+                         "backend init)")
+    ap.add_argument("--baseline-n-images", type=int, default=256,
+                    help="val images per learned-baseline overlay point")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from scripts import rd_plots
     rd_plots.main(["--in", args.inp, "--out-dir", args.out_dir,
@@ -42,8 +52,9 @@ def main(argv=None):
         if steps:
             ckpts.append(steps[-1])
     if ckpts:
-        points = analysis.learned_baseline_rd(ckpts, batch_size=16,
-                                              data_style=args.data_style)
+        points = analysis.learned_baseline_rd(
+            ckpts, batch_size=16, n_images=args.baseline_n_images,
+            data_style=args.data_style)
         with open("artifacts/learned_baseline_rd.json", "w") as f:
             json.dump(points, f, indent=2)
         print(f"learned-baseline overlay: {len(points)} points ->"
@@ -51,6 +62,11 @@ def main(argv=None):
         for p in points:
             print(f"  lmbda={p['lmbda']}: bpp={p['bpp']:.4f} "
                   f"rgb/psnr={p['rgb/psnr']:.2f}")
+        # re-render so the figures include the overlay just regenerated
+        # (the first render ran before it existed / with the old file);
+        # rendering FIRST keeps the figures safe if this step times out
+        rd_plots.main(["--in", args.inp, "--out-dir", args.out_dir,
+                       "--min-steps", str(args.min_steps)])
     else:
         print("no single-rgb checkpoints found; skipping baseline overlay")
 
