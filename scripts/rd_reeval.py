@@ -41,6 +41,55 @@ def latest_ckpt(run_dir, at_step=None):
     return steps[-1], int(steps[-1].rsplit("_", 1)[1])
 
 
+def _eval_run(model, variables, tables, dev_val, batch_size,
+              M, jnp, np, BatchLoader):
+    """Full-val RD point for one rebuilt run at `batch_size`."""
+    loader = BatchLoader(dev_val.subset_tasks(list(model.tasks)),
+                         batch_size, shuffle=False)
+    point = {"n_images": len(loader) * batch_size,
+             "eval_batch_size": batch_size}
+    total_bytes = 0
+    n_pix = 0
+    acc = {}
+    for batch in loader.epoch(0):
+        batch = {t: jnp.asarray(v) for t, v in batch.items()}
+        _, n_bytes = model.compress(variables, tables, batch)
+        b, h, w, _ = batch[model.tasks[0]].shape
+        total_bytes += n_bytes
+        n_pix += b * h * w
+        x_hats, lik = model.forward(variables, batch, training=False)
+        est, _ = model._compression_loss(lik, batch)
+        twin = model.corrected_geometry_twin()
+        _, lik_c = twin.forward(variables, batch, training=False)
+        est_c, _ = twin._compression_loss(lik_c, batch)
+        acc.setdefault("est_legacy", []).append(float(est))
+        acc.setdefault("est_corrected", []).append(float(est_c))
+        for t in model.tasks:
+            if t == "semantic":
+                # paper metric is rate vs mIoU (BASELINE.md); the
+                # reference also logs argmaxed PSNR at data_range 17
+                # (multi_task_compressor.py:359-384)
+                pred = jnp.argmax(x_hats[t], axis=-1)
+                acc.setdefault(f"{t}/miou", []).append(
+                    float(M.miou(pred, batch[t][..., 0])))
+                acc.setdefault(f"{t}/psnr", []).append(float(M.psnr(
+                    pred[..., None].astype(jnp.float32), batch[t], 17.0)))
+                continue
+            mse255 = float(jnp.mean((x_hats[t] - batch[t]) ** 2)) * 255.0 ** 2
+            acc.setdefault(f"{t}/mse255", []).append(mse255)
+            acc.setdefault(f"{t}/psnr", []).append(
+                float(M.psnr(x_hats[t] * 255.0, batch[t] * 255.0, 255.0)))
+            acc.setdefault(f"{t}/ms-ssim", []).append(
+                float(M.ms_ssim(x_hats[t] * 255.0, batch[t] * 255.0,
+                                255.0)))
+    point["actual_bpp"] = total_bytes * 8 / (n_pix * model.n_tasks)
+    point["estimated_bpp_legacy"] = float(np.mean(acc.pop("est_legacy")))
+    point["estimated_bpp"] = float(np.mean(acc.pop("est_corrected")))
+    for k, v in acc.items():
+        point[k] = float(np.mean(v))
+    return point
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--run-dir", default="runs/rd_paper")
@@ -108,7 +157,8 @@ def main(argv=None):
             continue
         prev = existing.get(run)
         if (prev is not None and prev.get("steps") == step
-                and prev.get("data_style") == args.data_style):
+                and prev.get("data_style") == args.data_style
+                and "error" not in prev):
             points.append(prev)
             print(f"{run}: step {step} cached (unchanged checkpoint)")
             continue
@@ -120,53 +170,40 @@ def main(argv=None):
         variables = {"params": payload["params"]}
         tables = model.update_bottleneck_values(variables)
 
-        loader = BatchLoader(dev_val.subset_tasks(list(model.tasks)),
-                             args.batch_size, shuffle=False)
         kind = (run.rsplit("-l", 1)[0])
-        point = {"run": run, "kind": kind, "lmbda": hp.get("lmbda"),
-                 "steps": step, "tasks": list(model.tasks),
-                 "checkpoint": os.path.relpath(ckpt),
-                 "data_style": args.data_style,
-                 "n_images": len(loader) * args.batch_size}
-        total_bytes = 0
-        n_pix = 0
-        acc = {}
-        for batch in loader.epoch(0):
-            batch = {t: jnp.asarray(v) for t, v in batch.items()}
-            _, n_bytes = model.compress(variables, tables, batch)
-            b, h, w, _ = batch[model.tasks[0]].shape
-            total_bytes += n_bytes
-            n_pix += b * h * w
-            x_hats, lik = model.forward(variables, batch, training=False)
-            est, _ = model._compression_loss(lik, batch)
-            twin = model.corrected_geometry_twin()
-            _, lik_c = twin.forward(variables, batch, training=False)
-            est_c, _ = twin._compression_loss(lik_c, batch)
-            acc.setdefault("est_legacy", []).append(float(est))
-            acc.setdefault("est_corrected", []).append(float(est_c))
-            for t in model.tasks:
-                if t == "semantic":
-                    # paper metric is rate vs mIoU (BASELINE.md); the
-                    # reference also logs argmaxed PSNR at data_range 17
-                    # (multi_task_compressor.py:359-384)
-                    pred = jnp.argmax(x_hats[t], axis=-1)
-                    acc.setdefault(f"{t}/miou", []).append(
-                        float(M.miou(pred, batch[t][..., 0])))
-                    acc.setdefault(f"{t}/psnr", []).append(float(M.psnr(
-                        pred[..., None].astype(jnp.float32), batch[t], 17.0)))
+        # one run's failure must not abort the rest of the sweep (a 4-task
+        # model can OOM where the others fit; a tunnel hiccup can kill one
+        # compress call) — retry OOM-shaped failures down a batch ladder,
+        # record anything else and move on. Matches bench.py's OOM matcher.
+        OOM_MARKS = ("RESOURCE_EXHAUSTED", "Resource exhausted",
+                     "out of memory", "OOM")
+        point = None
+        err = None
+        bs = args.batch_size
+        while bs >= 8:
+            try:
+                point = _eval_run(model, variables, tables, dev_val, bs,
+                                  M, jnp, np, BatchLoader)
+                break
+            except Exception as e:  # noqa: BLE001 — per-run isolation
+                err = e
+                if any(m in str(e) for m in OOM_MARKS):
+                    print(f"{run}: batch {bs} OOM — retrying at {bs // 2}")
+                    bs //= 2
                     continue
-                mse255 = float(jnp.mean((x_hats[t] - batch[t]) ** 2)) * 255.0 ** 2
-                acc.setdefault(f"{t}/mse255", []).append(mse255)
-                acc.setdefault(f"{t}/psnr", []).append(
-                    float(M.psnr(x_hats[t] * 255.0, batch[t] * 255.0, 255.0)))
-                acc.setdefault(f"{t}/ms-ssim", []).append(
-                    float(M.ms_ssim(x_hats[t] * 255.0, batch[t] * 255.0,
-                                    255.0)))
-        point["actual_bpp"] = total_bytes * 8 / (n_pix * model.n_tasks)
-        point["estimated_bpp_legacy"] = float(np.mean(acc.pop("est_legacy")))
-        point["estimated_bpp"] = float(np.mean(acc.pop("est_corrected")))
-        for k, v in acc.items():
-            point[k] = float(np.mean(v))
+                break
+        if point is None:
+            print(f"{run}: FAILED ({type(err).__name__}: {str(err)[:120]})")
+            points.append({"run": run, "kind": kind, "steps": step,
+                           "data_style": args.data_style,
+                           "error": f"{type(err).__name__}: {str(err)[:300]}"})
+            with open(args.out, "w") as f:
+                json.dump(points, f, indent=2)
+            continue
+        point.update({"run": run, "kind": kind, "lmbda": hp.get("lmbda"),
+                      "steps": step, "tasks": list(model.tasks),
+                      "checkpoint": os.path.relpath(ckpt),
+                      "data_style": args.data_style})
         points.append(point)
         print(f"{run}: step {step} bpp {point['actual_bpp']:.4f} "
               f"(legacy est {point['estimated_bpp_legacy']:.4f}) "
