@@ -62,6 +62,7 @@ def fit(
     extend_schedule: bool = False,
     clip_norm: Optional[float] = None,
     remat: bool = False,
+    schedule_total_steps: Optional[int] = None,
 ):
     """Train `model`; returns (state, last_val_logs)."""
     run_dir = os.path.join(out_dir, run_name)
@@ -70,6 +71,12 @@ def fit(
 
     steps_per_epoch = len(train_loader)
     total_steps = min(epochs * steps_per_epoch, max_steps or 10 ** 12)
+    if schedule_total_steps is not None:
+        # decouple the LR horizon from this invocation's stop point: a
+        # staged long run (e.g. 12k -> 28k -> 50k in tiers) re-horizons the
+        # cosine ONCE to the final target, so later tiers resume on the
+        # SAME schedule instead of warm-restarting at every tier boundary
+        total_steps = max(total_steps, schedule_total_steps)
 
     # a resumed run must keep the ORIGINAL cosine-decay horizon — deriving
     # it from this invocation's --epochs would silently reshape the LR

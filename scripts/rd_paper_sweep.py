@@ -66,6 +66,12 @@ def parse_args(argv):
     p.add_argument("--run-dir", default="runs/rd_paper")
     p.add_argument("--only", default=None,
                    help="comma-separated run-kind filter (e.g. 'mixed,shared')")
+    p.add_argument("--jobs", default=None,
+                   help="explicit schedule: comma-separated kind:lmbda[:steps]"
+                        " entries run IN ORDER (steps defaults to --steps). "
+                        "Overrides --only/--lmbdas; lets one process (one "
+                        "dataset load + HBM upload) drive a heterogeneous "
+                        "round, e.g. 'mixed:0.1:50000,shared:0.01:12000'")
     p.add_argument("--lmbdas", default=None,
                    help="comma-separated lambda filter (default: all of "
                         f"{LMBDAS})")
@@ -136,6 +142,34 @@ def main(argv=None):
             done = {p["run"]: p for p in json.load(f)}
 
     only = set(args.only.split(",")) if args.only else None
+    lmbdas = ([float(x) for x in args.lmbdas.split(",")]
+              if args.lmbdas else LMBDAS)
+    cfg_by_kind = {c[0]: c for c in CONFIGS}
+    if args.jobs:
+        schedule = []
+        for spec in args.jobs.split(","):
+            parts = spec.split(":")
+            cfg = cfg_by_kind[parts[0]]
+            lmbda = float(parts[1])
+            steps = int(parts[2]) if len(parts) > 2 else args.steps
+            # optional trailing fields: h<steps> (LR horizon beyond this
+            # job's stop point), b<batch> (per-job batch size), remat
+            opts = {}
+            for tok in parts[3:]:
+                if tok == "remat":
+                    opts["remat"] = True
+                elif tok.startswith("h"):
+                    opts["horizon"] = int(tok[1:])
+                elif tok.startswith("b"):
+                    opts["batch"] = int(tok[1:])
+                else:
+                    raise ValueError(f"unknown job option {tok!r} in {spec!r}")
+            schedule.append((cfg, lmbda, steps, opts))
+        only = {cfg[0] for cfg, _, _, _ in schedule}
+    else:
+        schedule = [(cfg, lmbda, args.steps, {}) for cfg in CONFIGS
+                    if only is None or cfg[0] in only
+                    for lmbda in lmbdas]
     # prerender/upload only the tasks the SELECTED configs touch — the
     # HBM-resident cache is the big tenant (4-task uint16 train+val
     # ~4.6 GB), and a semantic-only slot (single-semantic) doesn't need
@@ -187,26 +221,31 @@ def main(argv=None):
     del train_arrays, val_arrays
     print(f"  uploaded in {time.time() - t0:.0f}s")
 
-    lmbdas = ([float(x) for x in args.lmbdas.split(",")]
-              if args.lmbdas else LMBDAS)
     points = list(done.values())
-    for kind, model_num, tasks, m_lat, conv in CONFIGS:
-        if only and kind not in only:
-            continue
-        for lmbda in lmbdas:
+    for (kind, model_num, tasks, m_lat, conv), lmbda, job_steps, job_opts \
+            in schedule:
             run = f"{kind}-l{lmbda:g}"
             if run in done and not args.refresh:
                 print(f"skip {run} (already in {args.out})")
+                continue
+            if (run in done and args.refresh
+                    and int(done[run].get("steps") or 0) >= job_steps
+                    and "rd_eval_error" not in done[run]):
+                # refresh relaunch after an interruption: this job already
+                # reached its step target and carries a clean eval — skip
+                print(f"skip {run} (already at {done[run]['steps']} "
+                      f">= {job_steps} steps)")
                 continue
             t0 = time.time()
             model = build_model(model_num, tasks, latent_channels=m_lat,
                                 conv_channels=conv, lmbda=lmbda,
                                 learning_rate_main=args.lr,
                                 learning_rate_aux=1e-3)
+            job_batch = job_opts.get("batch") or args.batch_size
+            job_remat = bool(job_opts.get("remat", args.remat))
             train_loader, val_loader = task_loaders(
-                dev_train, dev_val, tasks, args.batch_size)
-            epochs = (args.steps * args.batch_size
-                      // (len(train_loader) * args.batch_size)) + 1
+                dev_train, dev_val, tasks, job_batch)
+            epochs = job_steps // len(train_loader) + 1
             # big decoders (C=42 disjoint/shared upsample stacks) need the
             # smaller in-flight superbatch to stay inside HBM
             spc = min(args.steps_per_call, 4 if conv > 32 else 8)
@@ -217,13 +256,14 @@ def main(argv=None):
                     model, train_loader, val_loader,
                     epochs=epochs, run_name=run, out_dir=args.run_dir,
                     resume=True, compute_metrics=True, train_metrics=False,
-                    log_images=False, max_steps=args.steps,
+                    log_images=False, max_steps=job_steps,
                     steps_per_call=spc, log_every=50,
                     val_every_epochs=args.val_every_epochs,
                     extend_schedule=args.extend,
                     checkpoint_every_epochs=args.checkpoint_every_epochs,
                     clip_norm=args.clip_norm or None,
-                    remat=args.remat)
+                    remat=job_remat,
+                    schedule_total_steps=job_opts.get("horizon"))
             except Exception as e:  # noqa: BLE001 — skip, keep sweeping
                 print(f"!!! {run} failed: {type(e).__name__}: {e}")
                 if run in done:
@@ -239,8 +279,8 @@ def main(argv=None):
             point = {"run": run, "kind": kind, "model": model_num,
                      "lmbda": lmbda, "tasks": list(tasks),
                      "data_style": args.data_style,
-                     "batch_size": args.batch_size,
-                     "remat": bool(args.remat),
+                     "batch_size": job_batch,
+                     "remat": job_remat,
                      "steps": int(state.step),
                      "estimated_bpp_train_geometry": None,
                      "wallclock_s": round(time.time() - t0, 1)}
