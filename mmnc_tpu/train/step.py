@@ -55,8 +55,9 @@ def make_train_step(model, compute_metrics: bool = True, donate: bool = True,
     remat=True wraps the loss in jax.checkpoint (save-nothing policy): the
     backward pass recomputes the forward instead of holding every decoder
     activation. ~1.3x step FLOPs for a several-GB peak-memory cut — the
-    4-task shared4 config OOMs a v5e at batch 64 without it (same math,
-    bit-identical updates; see tests/test_train.py)."""
+    4-task shared4 config OOMs a v5e at batch 64 without it (same math;
+    updates match the plain step within float tolerance — recomputation
+    is not guaranteed bitwise-identical on TPU; see tests/test_train.py)."""
 
     def loss_fn(params, batch, rng):
         variables = {"params": params}

@@ -41,9 +41,15 @@ def check_points(path, run_root, fix=False):
         actual = newest_step(os.path.join(run_root, run))
         if actual is None:
             # an environment reset can orphan an artifact from its run dir;
-            # points that declare the loss are honest history, not drift
-            tag = ("note(checkpoints_lost) " if p.get("checkpoints_lost")
-                   else "")
+            # points that declare the loss are honest history, not drift —
+            # but the flag alone is self-certified, so it only downgrades
+            # the failure when a human-readable note says WHAT was lost
+            # (round-4 advisor)
+            lost_ok = (p.get("checkpoints_lost")
+                       and p.get("checkpoints_lost_note"))
+            tag = "note(checkpoints_lost) " if lost_ok else ""
+            if p.get("checkpoints_lost") and not lost_ok:
+                tag = "flag-without-note "
             problems.append(
                 f"{tag}{path}: {run} has no checkpoints on disk")
             continue

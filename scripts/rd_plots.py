@@ -146,9 +146,14 @@ def main(argv=None):
             baseline_pts = json.load(f)
         # only overlay points whose checkpoint still exists: a leftover
         # overlay from a deleted sweep (possibly on another data style)
-        # would silently contaminate the figures otherwise
+        # would silently contaminate the figures otherwise. Checkpoint
+        # paths are repo-relative — resolve them against the repo root so
+        # the filter works from any cwd, and only treat a point as stale
+        # when it CARRIES a checkpoint key that is gone (round-4 advisor)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         stale = [p for p in baseline_pts
-                 if not os.path.exists(p.get("checkpoint", ""))]
+                 if "checkpoint" in p
+                 and not os.path.exists(os.path.join(repo, p["checkpoint"]))]
         if stale:
             print(f"baseline overlay: dropping {len(stale)} stale point(s) "
                   "whose checkpoints no longer exist")
@@ -197,14 +202,22 @@ def main(argv=None):
             for kind in curves}
 
     # ordering check at matched rates: evaluate every multi-task curve at the
-    # single models' achieved bpps (paper Fig. 4 convention, avg over tasks)
+    # single models' achieved bpps (paper Fig. 4 convention, avg over tasks).
+    # Points whose checkpoints were lost (declared via checkpoints_lost) are
+    # plotted but excluded here: a non-rederivable point must not carry the
+    # headline ranking (round-4 advisor)
+    ordering_points = [p for p in points if not p.get("checkpoints_lost")]
+    n_lost = len(points) - len(ordering_points)
+    if n_lost:
+        print(f"ordering: excluding {n_lost} checkpoints_lost point(s)")
+    summary["ordering"]["n_checkpoints_lost_excluded"] = n_lost
     per_kind_avg = {}
     n_extrapolated = 0
     for task in tasks:
         if task == "semantic":
             continue  # the paper's Fig. 4 ordering averages the 3 common
             # tasks; semantic has its own bpp-vs-mIoU figure
-        curves = curves_by_kind(points, task, args.bpp_key)
+        curves = curves_by_kind(ordering_points, task, args.bpp_key)
         if "single" not in curves:
             continue
         for bpp, psnr, _ in curves["single"]:
@@ -237,7 +250,7 @@ def main(argv=None):
     # This block fires in that regime and is reported separately; it never
     # feeds matches_paper.
     summary["ordering"]["at_matched_lambda"] = at_matched_lambda(
-        points, tasks)
+        ordering_points, tasks)
     # the paper's headline claim ranks FOUR families (paper §V-A Fig. 4);
     # a subset match is reported as partial, never as matches_paper
     full = set(ranked) >= set(KIND_ORDER)

@@ -147,7 +147,17 @@ def main(argv=None):
                 existing = {p["run"]: p for p in json.load(f)}
         except (json.JSONDecodeError, KeyError):
             existing = {}
-    points = []
+    # every write MERGES over the prior artifact: runs outside --only, or
+    # whose run dir vanished (the documented VM-reset scenario), keep their
+    # cached points instead of being silently dropped (round-4 advisor)
+    by_run = dict(existing)
+    visited = set()
+
+    def _write():
+        with open(args.out, "w") as f:
+            json.dump(sorted(by_run.values(), key=lambda p: p["run"]),
+                      f, indent=2)
+
     for run_dir in sorted(glob.glob(os.path.join(args.run_dir, "*"))):
         run = os.path.basename(run_dir)
         if only is not None and run not in only:
@@ -155,11 +165,19 @@ def main(argv=None):
         ckpt, step = latest_ckpt(run_dir, args.at_step)
         if ckpt is None:
             continue
+        visited.add(run)
         prev = existing.get(run)
         if (prev is not None and prev.get("steps") == step
                 and prev.get("data_style") == args.data_style
+                and prev.get("n_images") == args.val_size
                 and "error" not in prev):
-            points.append(prev)
+            # n_images is part of cache validity (protocol, not just
+            # checkpoint identity); a differing batch size only changes
+            # per-batch stream packing, so note it but keep the point
+            if prev.get("eval_batch_size") != args.batch_size:
+                print(f"{run}: cached point used eval_batch_size "
+                      f"{prev.get('eval_batch_size')} (requested "
+                      f"{args.batch_size})")
             print(f"{run}: step {step} cached (unchanged checkpoint)")
             continue
         t0 = time.time()
@@ -194,25 +212,24 @@ def main(argv=None):
                 break
         if point is None:
             print(f"{run}: FAILED ({type(err).__name__}: {str(err)[:120]})")
-            points.append({"run": run, "kind": kind, "steps": step,
+            by_run[run] = {"run": run, "kind": kind, "steps": step,
                            "data_style": args.data_style,
-                           "error": f"{type(err).__name__}: {str(err)[:300]}"})
-            with open(args.out, "w") as f:
-                json.dump(points, f, indent=2)
+                           "error": f"{type(err).__name__}: {str(err)[:300]}"}
+            _write()
             continue
         point.update({"run": run, "kind": kind, "lmbda": hp.get("lmbda"),
                       "steps": step, "tasks": list(model.tasks),
                       "checkpoint": os.path.relpath(ckpt),
                       "data_style": args.data_style})
-        points.append(point)
+        by_run[run] = point
         print(f"{run}: step {step} bpp {point['actual_bpp']:.4f} "
               f"(legacy est {point['estimated_bpp_legacy']:.4f}) "
               f"[{time.time() - t0:.0f}s]")
-        with open(args.out, "w") as f:
-            json.dump(points, f, indent=2)
-    with open(args.out, "w") as f:  # all-cached reruns still rewrite
-        json.dump(points, f, indent=2)
-    print(f"wrote {args.out} with {len(points)} points")
+        _write()
+    _write()  # all-cached reruns still rewrite
+    kept = len(by_run) - len(visited)
+    print(f"wrote {args.out} with {len(by_run)} points "
+          f"({len(visited)} visited, {kept} kept from prior artifact)")
 
 
 if __name__ == "__main__":
