@@ -122,6 +122,11 @@ def main(argv=None):
     ap.add_argument("--baseline", default="artifacts/learned_baseline_rd.json",
                     help="learned-baseline overlay points (plots.ipynb "
                          "cell 5 analog); skipped if missing")
+    ap.add_argument("--classical", default="artifacts/classical_rd.json",
+                    help="JPEG/WebP quality-sweep points from "
+                         "scripts/classical_rd.py (plots.ipynb cells 1-3 "
+                         "analog; paper Fig. 4's JPEG curve); skipped if "
+                         "missing")
     ap.add_argument("--min-steps", type=int, default=0,
                     help="drop runs below this training budget — mixing "
                          "budgets makes curves spuriously non-monotone "
@@ -159,6 +164,11 @@ def main(argv=None):
                   "whose checkpoints no longer exist")
         baseline_pts = [p for p in baseline_pts if p not in stale]
 
+    classical_pts = []
+    if args.classical and os.path.exists(args.classical):
+        with open(args.classical) as f:
+            classical_pts = json.load(f)
+
     summary = {"bpp_key": args.bpp_key, "min_steps": args.min_steps,
                "run_budgets": {p["run"]: p.get("steps") for p in points
                                if "run" in p},
@@ -182,6 +192,27 @@ def main(argv=None):
             axes[0].scatter([o[0] for o in overlay], [o[1] for o in overlay],
                             marker="x", s=60, color="k", zorder=5,
                             label=f"learned baseline (n={n})")
+        classical = {}
+        for p in classical_pts:
+            if p.get("task") == task and f"{task}/psnr" in p:
+                classical.setdefault(p["codec"], []).append(
+                    (p["bpp"], p[f"{task}/psnr"], p.get(f"{task}/mse255")))
+        if classical:
+            # classical codecs bottom out orders of magnitude above the
+            # learned models' rates — log-x keeps both regimes readable
+            for ax in axes:
+                ax.set_xscale("log")
+            for codec, pts in sorted(classical.items()):
+                pts.sort()
+                axes[0].plot([p[0] for p in pts], [p[1] for p in pts],
+                             ls="--", marker=".", alpha=0.7, label=codec)
+                if all(p[2] is not None for p in pts):
+                    axes[1].plot([p[0] for p in pts], [p[2] for p in pts],
+                                 ls="--", marker=".", alpha=0.7, label=codec)
+            summary.setdefault("classical", {})[task] = {
+                codec: {"min_bpp": min(p[0] for p in pts),
+                        "psnr_at_min_bpp": min(pts)[1]}
+                for codec, pts in classical.items()}
         axes[0].set_xlabel("bpp"); axes[0].set_ylabel(f"{task} PSNR (dB)")
         if task == "semantic":
             axes[1].set_xlabel("bpp"); axes[1].set_ylabel("semantic mIoU")

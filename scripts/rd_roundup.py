@@ -40,6 +40,22 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    # classical-codec overlay (paper Fig. 4's JPEG curve): data-only, no
+    # checkpoints involved — generate once per data style, then reuse
+    classical = "artifacts/classical_rd.json"
+    style_ok = False
+    if os.path.exists(classical):
+        with open(classical) as f:
+            pts = json.load(f)
+        style_ok = bool(pts) and all(
+            p.get("data_style") == args.data_style for p in pts)
+    if not style_ok:
+        try:
+            from scripts import classical_rd
+            classical_rd.main(["--data-style", args.data_style])
+        except Exception as e:  # noqa: BLE001 — overlay is optional
+            print(f"classical overlay generation failed: {e}")
+
     from scripts import rd_plots
     rd_plots.main(["--in", args.inp, "--out-dir", args.out_dir,
                    "--min-steps", str(args.min_steps)])
