@@ -75,6 +75,28 @@ def _load():
         _dec("mmnc_rans_decode_with_indexes", ctypes.c_int32, ctypes.c_int32)
         _dec("mmnc_rans_decode_u8i16", ctypes.c_uint8, ctypes.c_int16)
         _dec("mmnc_rans_decode_i32i16", ctypes.c_int32, ctypes.c_int16)
+
+        lib.mmnc_rans_decbuckets_build.restype = ctypes.c_int32
+        lib.mmnc_rans_decbuckets_build.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint16)]
+        def _dec_fast(name, idx_t, out_t):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int32
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(idx_t), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(out_t)]
+
+        _dec_fast("mmnc_rans_decode_fast_u8i16", ctypes.c_uint8,
+                  ctypes.c_int16)
+        _dec_fast("mmnc_rans_decode_fast_i32i16", ctypes.c_int32,
+                  ctypes.c_int16)
+        _dec_fast("mmnc_rans_decode_fast_i32i32", ctypes.c_int32,
+                  ctypes.c_int32)
         _lib = lib
         return lib
 
@@ -101,6 +123,43 @@ def _prep(table):
     lengths = np.ascontiguousarray(table.cdf_lengths, np.int32)
     offsets = np.ascontiguousarray(table.offsets, np.int32)
     return cdfs, lengths, offsets
+
+
+# fast-decode acceleration: per CdfTable, a 256-entry-per-row bucket table
+# brackets the symbol binary search to one bucket's symbols (usually 0-1
+# halving steps) while staying cache-resident — a full 2^16 cum->value LUT
+# was measured first and is SLOWER than the plain search (128 KB/row falls
+# out of L2). A reciprocal-multiply encode table was likewise measured and
+# rejected (the OoO core hides the div/mod behind the renorm stores).
+# Stream bytes are identical to the classic path (pinned by
+# tests/test_rans.py::test_golden_stream_pinned plus the fast-vs-classic
+# property tests). MMNC_RANS_FAST=0 falls back to the classic decode.
+_N_BUCKETS = 256
+
+
+def _fast_tables(table):
+    cached = getattr(table, "_mmnc_fast", None)
+    if cached is not None:
+        return cached
+    lib = _load()
+    cdfs, lengths, offsets = _prep(table)
+    rows = len(lengths)
+    buckets = np.empty(rows * _N_BUCKETS, np.uint16)
+    rc = lib.mmnc_rans_decbuckets_build(
+        _i32ptr(cdfs), cdfs.shape[1], _i32ptr(lengths), rows,
+        buckets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if rc != 0:
+        raise ValueError(f"decbuckets_build failed with code {rc}")
+    cached = (buckets, cdfs, lengths, offsets)
+    try:
+        object.__setattr__(table, "_mmnc_fast", cached)
+    except (AttributeError, TypeError):
+        pass  # uncacheable table type: rebuild per call
+    return cached
+
+
+def _use_fast() -> bool:
+    return os.environ.get("MMNC_RANS_FAST", "1") != "0"
 
 
 def _ptr(a, ct):
@@ -150,27 +209,42 @@ def decode_with_indexes(data: bytes, indexes, table, out_dtype=np.int32
     the native layer errors out (-3) if the stream holds an outlier that
     doesn't fit, so narrowing can never silently corrupt."""
     lib = _load()
+    fast = _use_fast()
     indexes = np.ascontiguousarray(indexes).ravel()
     if indexes.dtype != np.uint8:
         indexes = indexes.astype(np.int32, copy=False)
     if out_dtype == np.int16 and indexes.dtype == np.uint8:
-        fn, i_t, o_t = lib.mmnc_rans_decode_u8i16, ctypes.c_uint8, ctypes.c_int16
+        fn = (lib.mmnc_rans_decode_fast_u8i16 if fast
+              else lib.mmnc_rans_decode_u8i16)
+        i_t, o_t = ctypes.c_uint8, ctypes.c_int16
     elif out_dtype == np.int16:
-        fn, i_t, o_t = lib.mmnc_rans_decode_i32i16, ctypes.c_int32, ctypes.c_int16
+        fn = (lib.mmnc_rans_decode_fast_i32i16 if fast
+              else lib.mmnc_rans_decode_i32i16)
+        i_t, o_t = ctypes.c_int32, ctypes.c_int16
     else:
         if indexes.dtype == np.uint8:
             indexes = indexes.astype(np.int32)
-        fn, i_t, o_t = (lib.mmnc_rans_decode_with_indexes,
-                        ctypes.c_int32, ctypes.c_int32)
-    cdfs, lengths, offsets = _prep(table)
+        fn = (lib.mmnc_rans_decode_fast_i32i32 if fast
+              else lib.mmnc_rans_decode_with_indexes)
+        i_t, o_t = ctypes.c_int32, ctypes.c_int32
     buf = np.frombuffer(data, np.uint8)
     buf = np.ascontiguousarray(buf)
     out = np.zeros(len(indexes), out_dtype)
-    rc = fn(
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
-        _ptr(indexes, i_t), len(indexes),
-        _i32ptr(cdfs), cdfs.shape[1], _i32ptr(lengths), _i32ptr(offsets),
-        _ptr(out, o_t))
+    if fast:
+        buckets, cdfs, lengths, offsets = _fast_tables(table)
+        rc = fn(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            _ptr(indexes, i_t), len(indexes),
+            _i32ptr(cdfs), cdfs.shape[1], _i32ptr(lengths), _i32ptr(offsets),
+            buckets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            _ptr(out, o_t))
+    else:
+        cdfs, lengths, offsets = _prep(table)
+        rc = fn(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            _ptr(indexes, i_t), len(indexes),
+            _i32ptr(cdfs), cdfs.shape[1], _i32ptr(lengths), _i32ptr(offsets),
+            _ptr(out, o_t))
     if rc == -3:
         raise OverflowError(
             "rANS decode: stream symbol does not fit the requested int16 output")

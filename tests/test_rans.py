@@ -207,3 +207,40 @@ def test_golden_stream_pinned():
     assert len(data) == 23184
     assert (hashlib.sha256(data).hexdigest()
             == "6b97949d2e92d3c8862866115a8f02c6e60f463b69bfe726105bd99ce8d4d925")
+
+
+def test_fast_path_matches_classic_streams_and_symbols(monkeypatch):
+    """The LUT decode + reciprocal encode must be byte- and symbol-identical
+    to the classic binary-search/division path on every dtype combo,
+    including bypass escapes (out-of-range symbols)."""
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        table = _random_table(rng, rows=rng.integers(2, 9))
+        n = int(rng.integers(1000, 5000))
+        rows = len(table.cdf_lengths)
+        indexes = rng.integers(0, rows, n).astype(np.int32)
+        # mix of in-range symbols and far outliers that force bypass
+        max_vals = table.max_values[indexes]
+        sym = rng.integers(0, np.maximum(max_vals, 1))
+        esc = rng.random(n) < 0.05
+        sym = np.where(esc, rng.integers(-3000, 3000, n), sym)
+        sym = (sym + table.offsets[indexes]).astype(np.int32)
+
+        for sdt, idt in ((np.int32, np.int32), (np.int16, np.uint8),
+                         (np.int16, np.int32)):
+            if sdt == np.int16 and np.abs(sym).max() >= 2 ** 15:
+                continue
+            s, i = sym.astype(sdt), indexes.astype(idt)
+            monkeypatch.setenv("MMNC_RANS_FAST", "0")
+            classic = rans.encode_with_indexes(s, i, table)
+            dec_classic = rans.decode_with_indexes(classic, i, table)
+            monkeypatch.setenv("MMNC_RANS_FAST", "1")
+            fast = rans.encode_with_indexes(s, i, table)
+            dec_fast = rans.decode_with_indexes(fast, i, table)
+            assert fast == classic, (trial, sdt, idt)
+            np.testing.assert_array_equal(dec_fast, sym)
+            np.testing.assert_array_equal(dec_classic, sym)
+            # cross: classic stream through the fast decoder (same bytes,
+            # but keeps the pairing honest if the formats ever diverge)
+            np.testing.assert_array_equal(
+                rans.decode_with_indexes(classic, i, table), sym)
