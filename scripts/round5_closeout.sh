@@ -22,9 +22,18 @@ timeout 3600 python -u scripts/rd_reeval.py --run-dir runs/rd_clevr \
   --out artifacts/rd_clevr_eval_at50k.json >>"$LOG" 2>&1
 
 step "3/8 figures + ordering (classical overlay auto-generates)"
+# three budget tiers: latest-checkpoint overview, the 12k-matched tier
+# (every family + the full lambda grid -> multi-point curves + matched-
+# rate ordering), and the 50k-matched lambda=0.1 core ordering
 timeout 1800 python -u scripts/rd_roundup.py --run-dir runs/rd_clevr \
   --in artifacts/rd_clevr_eval.json --out-dir artifacts/rd_clevr_plots \
   --data-style clevr >>"$LOG" 2>&1
+timeout 900 python -u scripts/rd_plots.py \
+  --in artifacts/rd_clevr_eval_at12k.json \
+  --out-dir artifacts/rd_clevr_plots_12k >>"$LOG" 2>&1
+timeout 900 python -u scripts/rd_plots.py \
+  --in artifacts/rd_clevr_eval_at50k.json \
+  --out-dir artifacts/rd_clevr_plots_50k >>"$LOG" 2>&1
 
 step "4/8 flagship eval refresh (newest shared4 checkpoint)"
 FLAG_CKPT=$(ls -d runs/rd_clevr/shared4-l0.1/checkpoints/step_* 2>/dev/null \
