@@ -105,10 +105,43 @@ def _deconv_phase_k5s2(x, w):
     return y.reshape(b, 2 * h, 2 * wd, c)
 
 
+def _deconv_phase_packed_k5s2(x, w):
+    """k5/s2 transposed conv as ONE dense k3 conv with 4*Cout channels,
+    followed by a sub-pixel interleave (depth-to-space).
+
+    Same taps as `_deconv_phase_k5s2`, but all four phases ride a single
+    MXU contraction: the 2-tap odd-parity kernels are zero-padded to
+    3 taps at the *leading* position so every phase shares the
+    (pad 1,1) x (pad 1,1) window — with a 3-tap window over (m-1..m+1),
+    placing a 2-tap kernel at positions (1,2) reproduces the odd phase's
+    (m..m+1) window exactly. One conv call instead of four quadruples the
+    output-channel (lane) occupancy — decisive for the decoder's narrow
+    stages (Cout=3 rgb: 12 packed lanes beats 4x3) — at the cost of the
+    36/25 zero-tap MACs, which are free when the stage is bandwidth-bound.
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    # packed kernel: (3, 3, cin, 4, cout); phase p = 2*rh + rw on axis 3
+    kk = jnp.zeros((3, 3, cin, 4, cout), w.dtype)
+    for rh in (0, 1):
+        for rw in (0, 1):
+            sub = w[rh::2, rw::2]                     # (3-rh, 3-rw, cin, cout)
+            kk = kk.at[3 - sub.shape[0]:, 3 - sub.shape[1]:,
+                       :, 2 * rh + rw, :].set(sub)
+    y = jax.lax.conv_general_dilated(
+        x, kk.reshape(3, 3, cin, 4 * cout), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)], dimension_numbers=_DN,
+        precision=_conv_precision(x.dtype))
+    b, h, wd, _ = y.shape
+    y = y.reshape(b, h, wd, 2, 2, cout)               # (..., rh, rw, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * wd, cout)
+
+
 # Deconv lowering: "phase" feeds the MXU 4 dense phase convs (the dilated
-# form makes the MXU contract over the interleaved zeros); "dilated" is the
-# single conv_general_dilated call. k != 5 or stride != 2 always takes the
-# dilated path. Default set by measurement (scripts/measure_deconv_igdn.py).
+# form makes the MXU contract over the interleaved zeros); "packed" fuses
+# the 4 phases into one conv with 4*Cout channels + depth-to-space;
+# "dilated" is the single conv_general_dilated call. k != 5 or stride != 2
+# always takes the dilated path. Default set by measurement
+# (scripts/measure_deconv_igdn.py, artifacts/deconv_impl_ab.json).
 _DECONV_IMPL = os.environ.get("MMNC_DECONV_IMPL", "dilated").lower()
 
 
@@ -119,8 +152,11 @@ def deconv(x, w, stride: int = 2):
     H=1 -> 2). k5/s2 (the only shape the codecs use) takes the dense
     phase-decomposed path unless MMNC_DECONV_IMPL=dilated.
     """
-    if _DECONV_IMPL == "phase" and stride == 2 and w.shape[0] == 5:
-        return _deconv_phase_k5s2(x, w)
+    if stride == 2 and w.shape[0] == 5:
+        if _DECONV_IMPL == "phase":
+            return _deconv_phase_k5s2(x, w)
+        if _DECONV_IMPL == "packed":
+            return _deconv_phase_packed_k5s2(x, w)
     return _deconv_dilated(x, w, stride)
 
 

@@ -47,6 +47,9 @@ SPARSE_CKPT=$(ls -d runs/rd_clevr/mixed-l0.001/checkpoints/step_* 2>/dev/null \
 timeout 1800 python -u scripts/latent_sparsity.py --ckpt "$SPARSE_CKPT" \
   >>"$LOG" 2>&1 || true
 
+step "5b/8 semantic CE/mIoU trajectory from the run logs"
+timeout 600 python -u scripts/semantic_trajectory.py >>"$LOG" 2>&1 || true
+
 step "6/8 partial-decode refresh on the 50k checkpoints"
 timeout 1800 python -u scripts/partial_decode_report.py >>"$LOG" 2>&1 || true
 

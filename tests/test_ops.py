@@ -150,6 +150,34 @@ def test_deconv_phase_decomposition_matches_dilated(hw):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("hw", [1, 2, 4, 7, 8, 16])
+def test_deconv_phase_packed_matches_dilated(hw):
+    """The single-conv packed-phase lowering (4*Cout channels +
+    depth-to-space) must equal the dilated form on every spatial size the
+    codecs hit, including the saturated 1x1 latents and odd sizes."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, hw, hw, 6)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(5, 5, 6, 4)).astype(np.float32))
+    ref = layers._deconv_dilated(x, w, stride=2)
+    fast = layers._deconv_phase_packed_k5s2(x, w)
+    assert fast.shape == ref.shape == (2, 2 * hw, 2 * hw, 4)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_deconv_phase_packed_gradients_match_dilated():
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(5, 5, 3, 2)).astype(np.float32))
+    g_ref = jax.grad(lambda a, b: jnp.sum(
+        jnp.sin(layers._deconv_dilated(a, b))), argnums=(0, 1))(x, w)
+    g_fast = jax.grad(lambda a, b: jnp.sum(
+        jnp.sin(layers._deconv_phase_packed_k5s2(a, b))), argnums=(0, 1))(x, w)
+    for a, b in zip(g_ref, g_fast):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_deconv_phase_gradients_match_dilated():
     rng = np.random.default_rng(6)
     x = jnp.asarray(rng.normal(size=(1, 4, 4, 3)).astype(np.float32))
