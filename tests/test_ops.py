@@ -178,6 +178,24 @@ def test_deconv_phase_packed_gradients_match_dilated():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("impl", ["dilated", "phase", "packed"])
+def test_deconv_env_dispatch_equivalence(impl, monkeypatch):
+    """deconv() must produce the same result whichever lowering the
+    MMNC_DECONV_IMPL env selects (k5/s2 — the only codec shape)."""
+    monkeypatch.setattr(layers, "_DECONV_IMPL", impl)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(5, 5, 6, 4)).astype(np.float32))
+    ref = layers._deconv_dilated(x, w, stride=2)
+    np.testing.assert_allclose(np.asarray(layers.deconv(x, w, stride=2)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+    # non-k5 and non-s2 shapes must always take the dilated path
+    w3 = jnp.asarray(rng.normal(size=(3, 3, 6, 4)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(layers.deconv(x, w3, stride=2)),
+        np.asarray(layers._deconv_dilated(x, w3, stride=2)))
+
+
 def test_deconv_phase_gradients_match_dilated():
     rng = np.random.default_rng(6)
     x = jnp.asarray(rng.normal(size=(1, 4, 4, 3)).astype(np.float32))
