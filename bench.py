@@ -132,6 +132,16 @@ def _wait_for_backend(max_wait_s=900):
         time.sleep(60)
 
 
+def _set_deconv_impl(impl):
+    """Select the k5/s2 deconv lowering for subsequent traces. The jitted
+    programs cache on shapes, not on this module global, so the jax caches
+    must be dropped to force a re-trace (the persistent on-disk compile
+    cache still makes the recompile cheap)."""
+    from mmnc_tpu.ops import layers
+    layers._DECONV_IMPL = impl
+    jax.clear_caches()
+
+
 def main():
     _wait_for_backend()
     # headline = the TPU-native fast path (bf16 activations); the f32 path
@@ -139,13 +149,28 @@ def main():
     # whose decode is bit-exact vs the model's own eval forward.
     value_f32, bs, util = measure_tpu_mps()
     precision = "bf16"
+    # Autotune the synthesis deconv lowering on the bf16 path: "dilated"
+    # (one conv_general_dilated) vs "packed" (one dense k3 conv with 4x
+    # output channels + depth-to-space; mmnc_tpu/ops/layers.py). The two
+    # are value-equivalent (tests/test_ops.py::test_deconv_env_dispatch_
+    # equivalence); pick whichever the compiler+MXU run faster and report
+    # both figures.
+    by_impl = {}
     try:
-        value, bs16, util16 = measure_tpu_mps(batch_size=bs,
-                                              dtype=jnp.bfloat16)
+        for impl in ("dilated", "packed"):
+            _set_deconv_impl(impl)
+            by_impl[impl] = measure_tpu_mps(batch_size=bs,
+                                            dtype=jnp.bfloat16)
+        deconv_impl = max(by_impl, key=lambda k: by_impl[k][0])
+        value, bs16, util16 = by_impl[deconv_impl]
     except Exception as e:  # noqa: BLE001 — fall back to the f32 figure
         print(f"bf16 measurement failed: {e}", file=sys.stderr)
-        value, bs16, util16 = value_f32, bs, util
-        precision = "f32"
+        if by_impl:
+            deconv_impl, (value, bs16, util16) = next(iter(by_impl.items()))
+        else:
+            value, bs16, util16 = value_f32, bs, util
+            precision = "f32"
+            deconv_impl = "dilated"
 
     try:
         from benchmarks.torch_baseline import measure_torch_mps
@@ -171,6 +196,9 @@ def main():
                            "the reference publishes no MP/s figure",
         "batch_size": bs16,
         "mxu_utilization_pct": round(100 * util16, 2),
+        "deconv_impl": deconv_impl,
+        "mps_bf16_by_deconv_impl": {k: round(v[0], 3)
+                                    for k, v in by_impl.items()},
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
