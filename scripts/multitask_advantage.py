@@ -1,0 +1,88 @@
+"""Quantify the paper's core claim — multi-task compression beats a bank of
+single-task codecs — the way the claim is actually used: to serve N tasks you
+either ship ONE multi-task stream or the SUM of N single-task streams.
+
+Reference analog: src/plots.ipynb cells 17-42 (per-task RD curves per variant;
+paper Fig. 4a/b). The reference plots per-task curves side by side; this
+report makes the aggregate explicit: total bpp to cover {rgb, depth, normal}
+vs per-task distortion, multi-task variants vs the three-singles bank.
+
+Inputs are the committed full-val eval artifacts (256 images, real rANS
+bytes). Budgets are declared per point — singles for depth/normal exist at
+their 12k final budget (their RD curves are flat in both lambda and steps,
+see artifacts/learned_baseline_rd.json), the core families at 50k.
+
+Writes artifacts/multitask_advantage.json.
+"""
+
+import json
+import os
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TASKS = ["rgb", "depth_euclidean", "normal"]
+
+
+def load(path):
+    with open(os.path.join(HERE, path)) as f:
+        return {p["run"]: p for p in json.load(f)}
+
+
+def main():
+    at50 = load("artifacts/rd_clevr_eval_at50k.json")
+    at12 = load("artifacts/rd_clevr_eval_at12k.json")
+
+    # the single-task bank: best committed point per task (single-rgb has a
+    # 50k point; depth/normal singles end at their 12k budget)
+    bank = {
+        "rgb": at50["single-rgb-l0.1"],
+        "depth_euclidean": at12["single-depth_euclidean-l0.1"],
+        "normal": at12["single-normal-l0.1"],
+    }
+    bank_bpp = sum(p["actual_bpp"] for p in bank.values())
+    bank_row = {
+        "total_bpp": bank_bpp,
+        "per_task_psnr": {t: bank[t][f"{t}/psnr"] for t in TASKS},
+        "budgets": {t: bank[t]["steps"] for t in TASKS},
+        "n_models": 3,
+    }
+
+    rows = {}
+    for run in ["mixed-l0.1", "shared-l0.1", "disjoint-l0.1"]:
+        p = at50[run]
+        psnr = {t: p[f"{t}/psnr"] for t in TASKS}
+        rows[run] = {
+            "total_bpp": p["actual_bpp"],
+            "per_task_psnr": psnr,
+            "budget": p["steps"],
+            "rate_saving_vs_bank": bank_bpp / p["actual_bpp"],
+            "psnr_delta_vs_bank": {
+                t: psnr[t] - bank_row["per_task_psnr"][t] for t in TASKS},
+            "n_models": 1,
+            # Pareto-dominates = cheaper stream AND no task worse than noise
+            "dominates_bank": (p["actual_bpp"] < bank_bpp and all(
+                psnr[t] >= bank_row["per_task_psnr"][t] - 0.05
+                for t in TASKS)),
+        }
+
+    out = {
+        "claim": "one multi-task stream vs the sum of three single-task "
+                 "streams, full-val (256 img) real-rANS bytes",
+        "protocol_note": "singles for depth/normal are at their final 12k "
+                         "budget; their curves are flat in lambda and steps "
+                         "(learned_baseline_rd.json), so longer training "
+                         "does not move the bank materially",
+        "single_task_bank": bank_row,
+        "multi_task": rows,
+    }
+    path = os.path.join(HERE, "artifacts", "multitask_advantage.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+    for run, r in rows.items():
+        print(f"{run}: {r['rate_saving_vs_bank']:.1f}x cheaper than the "
+              f"3-model bank, dominates={r['dominates_bank']}, "
+              f"dPSNR={ {t: round(d, 2) for t, d in r['psnr_delta_vs_bank'].items()} }")
+
+
+if __name__ == "__main__":
+    main()
