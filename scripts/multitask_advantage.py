@@ -15,6 +15,7 @@ see artifacts/learned_baseline_rd.json), the core families at 50k.
 Writes artifacts/multitask_advantage.json.
 """
 
+import argparse
 import json
 import os
 
@@ -27,9 +28,8 @@ def load(path):
         return {p["run"]: p for p in json.load(f)}
 
 
-def main():
-    at50 = load("artifacts/rd_clevr_eval_at50k.json")
-    at12 = load("artifacts/rd_clevr_eval_at12k.json")
+def build_report(at50, at12):
+    """Aggregate-claim rows from {run: point} dicts (full-val eval points)."""
 
     # the single-task bank: best committed point per task (single-rgb has a
     # 50k point; depth/normal singles end at their 12k budget)
@@ -64,7 +64,7 @@ def main():
                 for t in TASKS)),
         }
 
-    out = {
+    return {
         "claim": "one multi-task stream vs the sum of three single-task "
                  "streams, full-val (256 img) real-rANS bytes",
         "protocol_note": "singles for depth/normal are at their final 12k "
@@ -74,7 +74,18 @@ def main():
         "single_task_bank": bank_row,
         "multi_task": rows,
     }
-    path = os.path.join(HERE, "artifacts", "multitask_advantage.json")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--at50", default="artifacts/rd_clevr_eval_at50k.json")
+    ap.add_argument("--at12", default="artifacts/rd_clevr_eval_at12k.json")
+    ap.add_argument("--out", default="artifacts/multitask_advantage.json")
+    args = ap.parse_args(argv)
+
+    out = build_report(load(args.at50), load(args.at12))
+    rows = out["multi_task"]
+    path = os.path.join(HERE, args.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
