@@ -26,9 +26,11 @@ import jax.numpy as jnp
 V5E_PEAK_FLOPS = 197e12  # bf16 peak of one TPU v5e chip
 
 
-def _roundtrip_flops(model, variables, batch):
-    """Analytic FLOPs of the three device programs per batch, from XLA's
-    own cost model (jit(...).lower().compile().cost_analysis())."""
+def _roundtrip_flops(model, variables, batch, stream_impl="v2"):
+    """Analytic FLOPs of the device programs the streaming pipeline
+    actually dispatches per batch (impl-dependent: v2 = fused compress +
+    synthesize, v1 = lean compress + index program + synthesize), from
+    XLA's own cost model (jit(...).lower().compile().cost_analysis())."""
     def flops(lowered):
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -38,21 +40,25 @@ def _roundtrip_flops(model, variables, batch):
     y_sym, z_sym, _ = jax.eval_shape(
         lambda v, b: model._compress_device_lean(v, b), variables, batch)
     y_shape = tuple(y_sym.shape[1:3])
-    z = jnp.zeros(z_sym.shape, jnp.int16)
     y_hat = jnp.zeros(
         (z_sym.shape[0], *y_shape, model.latent_channels), jnp.int16)
     cls = type(model)
-    # the three device programs the streaming pipeline actually dispatches
-    # (h_s rides _decompress_indexes, shared by encoder and decoder)
-    total = (
-        flops(cls._compress_device_lean.lower(model, variables, batch))
-        + flops(cls._decompress_indexes_u8.lower(model, variables, z, y_shape))
-        + flops(cls._synthesize_from_symbols.lower(model, variables, y_hat)))
+    total = flops(cls._synthesize_from_symbols.lower(model, variables, y_hat))
+    if stream_impl == "v2":
+        total += flops(cls._compress_device_fused.lower(
+            model, variables, batch))
+    else:
+        z = jnp.zeros(z_sym.shape, jnp.int16)
+        total += (
+            flops(cls._compress_device_lean.lower(model, variables, batch))
+            + flops(cls._decompress_indexes_u8.lower(
+                model, variables, z, y_shape)))
     return total
 
 
 def measure_tpu_mps(batch_size=512, image_size=256, iters=8,
-                    conv_channels=100, latent=128, dtype=None):
+                    conv_channels=100, latent=128, dtype=None,
+                    stream_impl="v2"):
     """Steady-state compress+decompress throughput. Large batches amortize
     the per-call dispatch/transfer overhead of the tunneled TPU; falls back
     to smaller batches on OOM. dtype=bfloat16 measures the documented fast
@@ -77,16 +83,18 @@ def measure_tpu_mps(batch_size=512, image_size=256, iters=8,
 
             # warmup (compiles the device paths, builds the native coder)
             for x_hats, _ in stream_roundtrip(model, variables, tables,
-                                              [batch] * 2):
+                                              [batch] * 2,
+                                              impl=stream_impl):
                 jax.block_until_ready(x_hats)
 
             t0 = time.perf_counter()
             results = list(stream_roundtrip(model, variables, tables,
-                                            [batch] * iters))
+                                            [batch] * iters,
+                                            impl=stream_impl))
             jax.block_until_ready(results[-1][0])
             dt = (time.perf_counter() - t0) / iters
 
-            flops = _roundtrip_flops(model, variables, batch)
+            flops = _roundtrip_flops(model, variables, batch, stream_impl)
             util = flops / dt / V5E_PEAK_FLOPS
             return bs * image_size * image_size / 1e6 / dt, bs, util
         except Exception as e:  # noqa: BLE001 — retry smaller on OOM-shaped
@@ -142,6 +150,14 @@ def _set_deconv_impl(impl):
     jax.clear_caches()
 
 
+def _set_conv_s2d(impl):
+    """Select the small-Cin k5/s2 conv lowering ("s2d" space-to-depth vs
+    "direct"); see _set_deconv_impl for the cache note."""
+    from mmnc_tpu.ops import layers
+    layers._CONV_S2D_IMPL = impl
+    jax.clear_caches()
+
+
 def main():
     _wait_for_backend()
     # headline = the TPU-native fast path (bf16 activations); the f32 path
@@ -149,28 +165,51 @@ def main():
     # whose decode is bit-exact vs the model's own eval forward.
     value_f32, bs, util = measure_tpu_mps()
     precision = "bf16"
-    # Autotune the synthesis deconv lowering on the bf16 path: "dilated"
-    # (one conv_general_dilated) vs "packed" (one dense k3 conv with 4x
-    # output channels + depth-to-space; mmnc_tpu/ops/layers.py). The two
-    # are value-equivalent (tests/test_ops.py::test_deconv_env_dispatch_
-    # equivalence); pick whichever the compiler+MXU run faster and report
-    # both figures.
-    by_impl = {}
+    # Autotune the bf16 path along two axes, measured not assumed:
+    #  * stream impl: "v2" (2 device programs/batch, fused compress carries
+    #    the decoder's indexes) vs "v1" (3 programs; models/streaming.py) —
+    #    byte-identical streams (tests/test_streaming.py);
+    #  * synthesis deconv lowering on the winning stream impl: "dilated"
+    #    (one conv_general_dilated) vs "packed" (one dense k3 conv with 4x
+    #    output channels + depth-to-space; mmnc_tpu/ops/layers.py) —
+    #    value-equivalent (tests/test_ops.py).
+    by_impl = {}    # deconv lowering -> result (on the winning stream impl)
+    by_stream = {}  # stream impl -> result (dilated deconv)
     try:
-        for impl in ("dilated", "packed"):
-            _set_deconv_impl(impl)
-            by_impl[impl] = measure_tpu_mps(batch_size=bs,
-                                            dtype=jnp.bfloat16)
+        for simpl in ("v2", "v1"):
+            by_stream[simpl] = measure_tpu_mps(batch_size=bs,
+                                               dtype=jnp.bfloat16,
+                                               stream_impl=simpl)
+        stream_impl = max(by_stream, key=lambda k: by_stream[k][0])
+        by_impl["dilated"] = by_stream[stream_impl]
+        _set_deconv_impl("packed")
+        by_impl["packed"] = measure_tpu_mps(batch_size=bs,
+                                            dtype=jnp.bfloat16,
+                                            stream_impl=stream_impl)
         deconv_impl = max(by_impl, key=lambda k: by_impl[k][0])
-        value, bs16, util16 = by_impl[deconv_impl]
+        if deconv_impl != "packed":
+            _set_deconv_impl(deconv_impl)
+        # third axis: the input head's small-Cin conv lowering ("s2d"
+        # space-to-depth vs "direct"), on the winning stream+deconv combo
+        by_conv0 = {"direct": by_impl[deconv_impl]}
+        _set_conv_s2d("s2d")
+        by_conv0["s2d"] = measure_tpu_mps(batch_size=bs,
+                                          dtype=jnp.bfloat16,
+                                          stream_impl=stream_impl)
+        conv0_impl = max(by_conv0, key=lambda k: by_conv0[k][0])
+        value, bs16, util16 = by_conv0[conv0_impl]
     except Exception as e:  # noqa: BLE001 — fall back to the f32 figure
         print(f"bf16 measurement failed: {e}", file=sys.stderr)
-        if by_impl:
-            deconv_impl, (value, bs16, util16) = next(iter(by_impl.items()))
+        by_conv0 = {}
+        conv0_impl = "direct"
+        if by_stream:
+            stream_impl, (value, bs16, util16) = next(iter(by_stream.items()))
+            deconv_impl = "dilated"
         else:
             value, bs16, util16 = value_f32, bs, util
             precision = "f32"
             deconv_impl = "dilated"
+            stream_impl = "v2"
 
     try:
         from benchmarks.torch_baseline import measure_torch_mps
@@ -199,6 +238,12 @@ def main():
         "deconv_impl": deconv_impl,
         "mps_bf16_by_deconv_impl": {k: round(v[0], 3)
                                     for k, v in by_impl.items()},
+        "stream_impl": stream_impl,
+        "mps_bf16_by_stream_impl": {k: round(v[0], 3)
+                                    for k, v in by_stream.items()},
+        "conv0_impl": conv0_impl,
+        "mps_bf16_by_conv0_impl": {k: round(v[0], 3)
+                                   for k, v in by_conv0.items()},
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

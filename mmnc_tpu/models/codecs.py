@@ -385,6 +385,41 @@ class MultiTaskCompressorBase:
                               jnp.max(jnp.abs(z_sym))).astype(jnp.int32)
         return (y_sym.astype(jnp.int16), z_sym.astype(jnp.int16), max_abs)
 
+    @partial(jax.jit, static_argnums=0)
+    def _compress_device_fused(self, variables, batch):
+        """One-dispatch compress program for the v2 streaming pipeline
+        (models/streaming.py): g_a + h_a + quantize + h_s + build_indexes.
+        Returns (y_sym i16, z_sym i16, dec_idx u8, max_abs).
+
+        Versus _compress_device_lean + _decompress_indexes_u8 this folds
+        the decoder's index program into the encoder dispatch, removing one
+        device program, one H2D (decoded z) and one D2H sync (indexes) per
+        batch from the hot loop. Soundness: the indexes here are computed
+        from the encoder's quantized z, and the decoder's would come from
+        the DECODED z — but z's rANS coding is lossless, so the two inputs
+        are bit-identical; the v2 pipeline asserts z_dec == z_sym on the
+        host before using the stream (and falls back to recomputing
+        indexes from z_dec if the assert ever failed). Same stream-compat
+        caveat as the lean pipeline (module docstring): the index math
+        lives in a differently-fused jit program, byte-equality with
+        model.compress(packed=True) is asserted in tests/test_streaming.py.
+        """
+        y, z = self.net.apply(variables, batch,
+                              method=MultiTaskCodecNet.analyze)
+        medians = self.net.apply(variables,
+                                 method=MultiTaskCodecNet.eb_medians)
+        med = medians[None, None, None, :]
+        z_sym = jnp.round(z - med)
+        scales = self.net.apply(variables, z_sym + med,
+                                method=MultiTaskCodecNet.hyper_synthesize)
+        scales = scales[:, :y.shape[1], :y.shape[2], :]
+        indexes = GaussianConditional.build_indexes(scales).astype(jnp.uint8)
+        y_sym = jnp.round(y)
+        max_abs = jnp.maximum(jnp.max(jnp.abs(y_sym)),
+                              jnp.max(jnp.abs(z_sym))).astype(jnp.int32)
+        return (y_sym.astype(jnp.int16), z_sym.astype(jnp.int16),
+                indexes, max_abs)
+
     @partial(jax.jit, static_argnums=(0, 3))
     def _decompress_indexes_u8(self, variables, z_sym, y_shape):
         """_decompress_indexes with a uint8 result (the Gaussian scale table

@@ -48,9 +48,57 @@ def _conv_precision(dtype):
     return _PRECISION
 
 
+def _conv_s2d_k5s2(x, w):
+    """k5/s2 conv on a small-C_in input as a k3/s1 conv over the 2x2
+    space-to-depth transform of the input.
+
+    Why: the MXU contracts over kh*kw*Cin; at Cin=3 (rgb head, 256px — the
+    largest-spatial conv in the codec) that is 75 elements against the
+    128-deep systolic array, and XLA's tiling of the narrow strided conv
+    runs far below peak. The s2d form trades it for a 3x3 stride-1 conv
+    with Cin 4x larger (contraction 108 at rgb) on a 2x-smaller grid.
+
+    Math (pad k//2 = 2, torch geometry): out(x) = sum_{i<5} w[i] in(2x+i-2).
+    Writing input rows as (2u+a), a in {0,1}: taps with i = 2*du+2+a land
+    on u = x+du, du in {-1,0,1} — i.e. a 3-tap stride-1 window over the
+    s2d grid (pad 1), with the a=1 parity contributing only 2 taps
+    (i=5 falls outside the 5-tap kernel and is zero-padded). Same taps hit
+    the same inputs as `conv`; only float summation order differs.
+    Requires even H and W.
+    """
+    b, h, wd, c = x.shape
+    # s2d input: (B, H/2, W/2, a, b, C) flattened channel-minor
+    xs = x.reshape(b, h // 2, 2, wd // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * c)
+    # packed kernel: w6[du+1, dv+1, a, b, c, f] = w[2*du+2+a, 2*dv+2+b, c, f]
+    # (tap i = 2*du+2+a -> du+1 = (i-a)/2, so parity-a rows w[a::2] land at
+    # kernel positions 0..len-1; the a=1 parity has only 2 taps, the third
+    # stays zero)
+    w6 = jnp.zeros((3, 3, 2, 2, c, w.shape[3]), w.dtype)
+    for a in (0, 1):
+        for bb in (0, 1):
+            sub = w[a::2, bb::2]               # (3-a, 3-bb, c, f)
+            w6 = w6.at[:sub.shape[0], :sub.shape[1], a, bb, :, :].set(sub)
+    w3 = w6.reshape(3, 3, 4 * c, w.shape[3])
+    return jax.lax.conv_general_dilated(
+        xs, w3, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=_DN, precision=_conv_precision(x.dtype))
+
+
+# First-conv lowering for k5/s2 with small Cin: "s2d" (space-to-depth,
+# above) or "direct" (plain strided conv). Default set by measurement via
+# bench.py's autotune; engages only when Cin <= _S2D_MAX_CIN and H,W even.
+_CONV_S2D_IMPL = os.environ.get("MMNC_CONV_S2D", "direct").lower()
+_S2D_MAX_CIN = 8
+
+
 def conv(x, w, stride: int = 2):
     """Strided cross-correlation with torch padding k//2. w: (kh, kw, Cin, Cout)."""
     k = w.shape[0]
+    if (stride == 2 and k == 5 and _CONV_S2D_IMPL == "s2d"
+            and w.shape[2] <= _S2D_MAX_CIN
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        return _conv_s2d_k5s2(x, w)
     p = k // 2
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),

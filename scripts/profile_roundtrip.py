@@ -61,6 +61,11 @@ def stage_times(model, variables, tables, batch, iters=4):
     out["A_compress_device"] = timed(
         lambda: jax.block_until_ready(
             model._compress_device_lean(variables, batch)), iters)
+    # A2: the v2 fused compress (g_a+h_a+quantize+h_s+indexes in ONE
+    # program — replaces A and C in the v2 pipeline layout)
+    out["A2_compress_fused_device"] = timed(
+        lambda: jax.block_until_ready(
+            model._compress_device_fused(variables, batch)), iters)
     dev = model._compress_device_lean(variables, batch)
     # D2H of the int16 symbol pair — device_get caches the host copy on the
     # array, so each timed iteration must fetch a FRESH (copied) triple
@@ -116,7 +121,9 @@ def stage_times(model, variables, tables, batch, iters=4):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch-size", type=int, default=1024)
+    # 512 default: the batch-1024 compress program needs ~20.5G HBM
+    # (> the 15.75G chip) — the 2026-08-18 refresh OOMed at compile
+    ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--out", default="artifacts/profile_roundtrip.json")
@@ -134,26 +141,29 @@ def main(argv=None):
     report["serial_sum_s"] = serial
     report["serial_mps"] = mp / serial
 
-    for depth in (1, 2, 3, 4):
-        try:
-            for _ in stream_roundtrip(model, variables, tables, [batch] * 2,
-                                      depth=depth):
-                pass
-            if args.trace_dir and depth == 3:
-                jax.profiler.start_trace(args.trace_dir)
-            t0 = time.perf_counter()
-            results = list(stream_roundtrip(model, variables, tables,
-                                            [batch] * args.iters,
-                                            depth=depth))
-            jax.block_until_ready(results[-1][0])
-            dt = (time.perf_counter() - t0) / args.iters
-            if args.trace_dir and depth == 3:
-                jax.profiler.stop_trace()
-            report[f"pipelined_mps_depth{depth}"] = mp / dt
-        except Exception as e:  # noqa: BLE001 — deeper pipelines can OOM
-            report[f"pipelined_mps_depth{depth}"] = (
-                f"FAILED: {type(e).__name__}")
-            break
+    for impl in ("v2", "v1"):
+        for depth in (1, 2, 3, 4):
+            try:
+                for _ in stream_roundtrip(model, variables, tables,
+                                          [batch] * 2, depth=depth,
+                                          impl=impl):
+                    pass
+                trace = args.trace_dir and depth == 3 and impl == "v2"
+                if trace:
+                    jax.profiler.start_trace(args.trace_dir)
+                t0 = time.perf_counter()
+                results = list(stream_roundtrip(model, variables, tables,
+                                                [batch] * args.iters,
+                                                depth=depth, impl=impl))
+                jax.block_until_ready(results[-1][0])
+                dt = (time.perf_counter() - t0) / args.iters
+                if trace:
+                    jax.profiler.stop_trace()
+                report[f"pipelined_mps_depth{depth}_{impl}"] = mp / dt
+            except Exception as e:  # noqa: BLE001 — deeper pipelines can OOM
+                report[f"pipelined_mps_depth{depth}_{impl}"] = (
+                    f"FAILED: {type(e).__name__}")
+                break
 
     # depth x batch matrix: a deeper pipeline holds depth+1 batches of
     # device intermediates in flight, so the HBM-feasible depth depends on

@@ -207,3 +207,51 @@ def test_deconv_phase_gradients_match_dilated():
     for a, b in zip(g_ref, g_fast):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_conv_s2d_matches_direct():
+    """The space-to-depth k5/s2 lowering (_conv_s2d_k5s2) must match the
+    plain strided conv on even inputs for small Cin (the input-head conv
+    shapes), including odd Cout and Cin=1 (depth/semantic heads)."""
+    rng = np.random.default_rng(11)
+    for cin, cout, hw in [(3, 100, 16), (1, 7, 8), (4, 5, 32), (3, 3, 2)]:
+        x = jnp.asarray(rng.normal(size=(2, hw, hw, cin)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(5, 5, cin, cout)).astype(np.float32))
+        ref = layers.conv(x, w, stride=2)
+        fast = layers._conv_s2d_k5s2(x, w)
+        assert fast.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_conv_s2d_env_dispatch(monkeypatch):
+    """conv() takes the s2d path only when MMNC_CONV_S2D=s2d AND the shape
+    qualifies (k5/s2, Cin <= 8, even H/W); everything else stays direct."""
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(5, 5, 3, 10)).astype(np.float32))
+    direct = np.asarray(layers.conv(x, w, stride=2))
+
+    monkeypatch.setattr(layers, "_CONV_S2D_IMPL", "s2d")
+    np.testing.assert_allclose(np.asarray(layers.conv(x, w, stride=2)),
+                               direct, rtol=1e-5, atol=1e-5)
+    # wide Cin must NOT reroute (weights (5,5,100,?) stay on the MXU-happy
+    # direct path), nor odd spatial, nor k3 — these fall through
+    x_odd = jnp.asarray(rng.normal(size=(1, 17, 17, 3)).astype(np.float32))
+    out_odd = layers.conv(x_odd, w, stride=2)
+    monkeypatch.setattr(layers, "_CONV_S2D_IMPL", "direct")
+    np.testing.assert_array_equal(np.asarray(out_odd),
+                                  np.asarray(layers.conv(x_odd, w, stride=2)))
+
+
+def test_conv_s2d_gradients_match_direct():
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(5, 5, 3, 4)).astype(np.float32))
+    g_ref = jax.grad(lambda a, b: jnp.sum(
+        jnp.sin(layers.conv(a, b, stride=2))), argnums=(0, 1))(x, w)
+    g_fast = jax.grad(lambda a, b: jnp.sum(
+        jnp.sin(layers._conv_s2d_k5s2(a, b))), argnums=(0, 1))(x, w)
+    for a, b in zip(g_ref, g_fast):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)

@@ -1,13 +1,15 @@
 """Pipelined streaming round trip == per-batch compress/decompress."""
 
 import numpy as np
+import pytest
 import jax
 
 from mmnc_tpu.models import build_model
 from mmnc_tpu.models.streaming import stream_roundtrip
 
 
-def test_stream_matches_sequential():
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_stream_matches_sequential(impl):
     m = build_model(2, ["rgb"], latent_channels=8, conv_channels=4,
                     lmbda=1e-2)
     batches = [m.example_batch(batch_size=2, image_size=256, seed=s)
@@ -15,7 +17,7 @@ def test_stream_matches_sequential():
     v = m.init(jax.random.PRNGKey(0), batches[0])
     tables = m.update_bottleneck_values(v)
 
-    streamed = list(stream_roundtrip(m, v, tables, batches))
+    streamed = list(stream_roundtrip(m, v, tables, batches, impl=impl))
     assert len(streamed) == 3
 
     for batch, (x_hats, n_bytes) in zip(batches, streamed):
@@ -28,12 +30,32 @@ def test_stream_matches_sequential():
                                        np.asarray(ref[t]), atol=1e-5)
 
 
-def test_stream_int16_overflow_falls_back(monkeypatch):
+def test_fused_compress_matches_lean_plus_indexes():
+    """The v2 fused program's outputs must be bit-identical to the v1
+    pair (_compress_device_lean + _decompress_indexes_u8 on the same z):
+    same symbols, same max_abs, same decoder indexes — i.e. the two
+    layouts produce the same stream by construction, not by luck."""
+    m = build_model(1, ["rgb"], latent_channels=8, conv_channels=4,
+                    lmbda=1e-2)
+    batch = m.example_batch(batch_size=2, image_size=256, seed=3)
+    v = m.init(jax.random.PRNGKey(0), batch)
+
+    y1, z1, max1 = jax.device_get(m._compress_device_lean(v, batch))
+    idx1 = jax.device_get(m._decompress_indexes_u8(
+        v, jax.numpy.asarray(z1), tuple(y1.shape[1:3])))
+    y2, z2, idx2, max2 = jax.device_get(m._compress_device_fused(v, batch))
+
+    np.testing.assert_array_equal(y1, y2)
+    np.testing.assert_array_equal(z1, z2)
+    np.testing.assert_array_equal(idx1, idx2)
+    assert int(max1) == int(max2)
+
+
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_stream_int16_overflow_falls_back(monkeypatch, impl):
     """When the device-side max_abs guard reports an int16 overflow the
     coder thread must take the wide (int32) path — recomputing the classic
     compress program from the batch — and still round-trip exactly."""
-    from mmnc_tpu.models import streaming
-
     m = build_model(2, ["rgb"], latent_channels=8, conv_channels=4,
                     lmbda=1e-2)
     batch = m.example_batch(batch_size=1, image_size=64, seed=0)
@@ -42,14 +64,24 @@ def test_stream_int16_overflow_falls_back(monkeypatch):
 
     # GDN makes the analysis scale-invariant, so no realistic input drives
     # |round(y)| past 2^15 — fake the guard tripping instead
-    lean = type(m)._compress_device_lean
+    if impl == "v1":
+        lean = type(m)._compress_device_lean
 
-    def tripped(self, variables, b):
-        y, z, _ = lean(self, variables, b)
-        return y, z, np.int32(2 ** 15)
+        def tripped(self, variables, b):
+            y, z, _ = lean(self, variables, b)
+            return y, z, np.int32(2 ** 15)
 
-    monkeypatch.setattr(type(m), "_compress_device_lean", tripped)
-    (x_hats, n_bytes), = list(stream_roundtrip(m, v, tables, [batch]))
+        monkeypatch.setattr(type(m), "_compress_device_lean", tripped)
+    else:
+        fused = type(m)._compress_device_fused
+
+        def tripped(self, variables, b):
+            y, z, idx, _ = fused(self, variables, b)
+            return y, z, idx, np.int32(2 ** 15)
+
+        monkeypatch.setattr(type(m), "_compress_device_fused", tripped)
+    (x_hats, n_bytes), = list(stream_roundtrip(m, v, tables, [batch],
+                                               impl=impl))
     ans, n_ref = m.compress(v, tables, batch)
     ref = m.decompress(v, tables, ans)
     assert n_bytes == n_ref
