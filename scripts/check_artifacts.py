@@ -89,12 +89,20 @@ def main(argv=None):
              else hard).append(p)
 
     # eval artifacts evaluate a *specific* checkpoint — their steps need
-    # not equal the newest, but the checkpoint they name must exist
+    # not equal the newest, but the checkpoint they name must exist.
+    # The same declared-loss escape as check_points applies (an
+    # environment reset orphans eval artifacts exactly like sweep
+    # points): checkpoints_lost + a human-readable note downgrades the
+    # failure to a listed note; the flag alone does not.
+    def lost_ok(p):
+        return bool(p.get("checkpoints_lost") and p.get("checkpoints_lost_note"))
+
     for name in ("artifacts/rd_paper_eval.json",
                  "artifacts/rd_paper_eval_at12k.json",
                  "artifacts/rd_paper_eval_at40k.json",
                  "artifacts/rd_clevr_eval.json",
-                 "artifacts/rd_clevr_eval_at12k.json"):
+                 "artifacts/rd_clevr_eval_at12k.json",
+                 "artifacts/rd_clevr_eval_at50k.json"):
         path = os.path.join(REPO, name)
         if not os.path.exists(path):
             continue
@@ -103,15 +111,25 @@ def main(argv=None):
         for p in points:
             ck = p.get("checkpoint")
             if ck and not os.path.exists(os.path.join(REPO, ck)):
-                hard.append(f"{name}: missing checkpoint {ck}")
+                if lost_ok(p):
+                    soft.append(f"note(checkpoints_lost) {name}: "
+                                f"missing checkpoint {ck}")
+                else:
+                    hard.append(f"{name}: missing checkpoint {ck}")
 
-    fl = os.path.join(REPO, "artifacts", "flagship_eval.json")
-    if os.path.exists(fl):
+    for fname in ("flagship_eval.json", "latent_sparsity.json"):
+        fl = os.path.join(REPO, "artifacts", fname)
+        if not os.path.exists(fl):
+            continue
         with open(fl) as f:
             summary = json.load(f)
         ck = summary.get("checkpoint")
         if ck and not os.path.exists(os.path.join(REPO, ck)):
-            hard.append(f"flagship_eval.json: missing checkpoint {ck}")
+            if lost_ok(summary):
+                soft.append(f"note(checkpoints_lost) {fname}: "
+                            f"missing checkpoint {ck}")
+            else:
+                hard.append(f"{fname}: missing checkpoint {ck}")
 
     for p in soft:
         print(f"note: {p}")
