@@ -42,8 +42,19 @@ def run_trajectory(run_dir, run):
     return traj
 
 
-def build_report(points, run_dir="runs/rd_clevr"):
-    """points: rd_clevr.json list. Returns the lambda-response report."""
+def build_report(points, run_dir="runs/rd_clevr", trajectory_artifact=None):
+    """points: rd_clevr.json list. Returns the lambda-response report.
+
+    trajectory_artifact: optional path to a committed
+    semantic_trajectory.json — used as frozen-evidence fallback for runs
+    whose val-metrics JSONL no longer exists (environment reset): a
+    pre-reset `miou_delta_last_quarter == 0.0` is the same frozen
+    signature, measured before the loss.
+    """
+    pre_reset = {}
+    if trajectory_artifact and os.path.exists(trajectory_artifact):
+        with open(trajectory_artifact) as f:
+            pre_reset = json.load(f)
     rows = {}
     for p in points:
         if p.get("kind") != "single-semantic":
@@ -53,6 +64,13 @@ def build_report(points, run_dir="runs/rd_clevr"):
         # the frozen signature: identical mIoU (to 1e-9) at every val epoch
         frozen = (len(set(round(m, 9) for m in mious)) <= 1
                   if len(mious) >= 2 else None)
+        frozen_source = "val-metrics jsonl" if frozen is not None else None
+        if frozen is None:
+            prev = pre_reset.get(p["run"])
+            if isinstance(prev, dict) and \
+                    prev.get("miou_delta_last_quarter") == 0.0:
+                frozen = True
+                frozen_source = "semantic_trajectory.json (pre-reset)"
         rows[p["run"]] = {
             "lmbda": p["lmbda"],
             "steps": p.get("steps"),
@@ -62,6 +80,7 @@ def build_report(points, run_dir="runs/rd_clevr"):
             "val_miou_last": mious[-1] if mious else None,
             "val_miou_max": max(mious) if mious else None,
             "label_map_frozen": frozen,
+            "label_map_frozen_source": frozen_source,
             "n_val_points": len(mious),
             "trajectory": traj[-40:],
         }
@@ -88,11 +107,17 @@ def main(argv=None):
     ap.add_argument("--points", default="artifacts/rd_clevr.json")
     ap.add_argument("--run-dir", default="runs/rd_clevr")
     ap.add_argument("--out", default="artifacts/semantic_lambda_response.json")
+    ap.add_argument("--trajectory-artifact",
+                    default="artifacts/semantic_trajectory.json",
+                    help="pre-reset frozen-evidence fallback ('' disables)")
     args = ap.parse_args(argv)
 
     with open(os.path.join(REPO, args.points)) as f:
         points = json.load(f)
-    report = build_report(points, os.path.join(REPO, args.run_dir))
+    report = build_report(
+        points, os.path.join(REPO, args.run_dir),
+        trajectory_artifact=(os.path.join(REPO, args.trajectory_artifact)
+                             if args.trajectory_artifact else None))
     out = os.path.join(REPO, args.out)
     with open(out, "w") as f:
         json.dump(report, f, indent=2)

@@ -45,7 +45,19 @@ def main():
                                      "semantic_trajectory.png")
     args = ap.parse_args()
 
+    # MERGE over the prior artifact: a run whose metrics JSONL no longer
+    # exists (environment reset) keeps its committed trajectory instead of
+    # being silently erased by the rewrite (the same keep-unvisited rule
+    # the round-4 advisor required of rd_reeval). Re-extracted runs
+    # replace their old entries.
     out = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                out = {run: dict(entry, kept_from_prior_artifact=True)
+                       for run, entry in json.load(f).items()}
+        except (json.JSONDecodeError, AttributeError):
+            out = {}
     for mp in sorted(glob.glob(
             os.path.join(args.run_dir, "*", "*.metrics.jsonl"))):
         run = os.path.basename(os.path.dirname(mp))

@@ -51,3 +51,24 @@ def test_missing_metrics_file_is_tolerated(tmp_path):
     row = r["runs"]["single-semantic-l9"]
     assert row["label_map_frozen"] is None
     assert row["n_val_points"] == 0
+
+
+def test_pre_reset_frozen_fallback(tmp_path):
+    # no metrics JSONL on disk, but the committed trajectory artifact
+    # carries the pre-reset frozen signature -> classified starved
+    traj = tmp_path / "semantic_trajectory.json"
+    traj.write_text(json.dumps({
+        "single-semantic-l0.1": {"final_miou": 0.0599,
+                                 "miou_delta_last_quarter": 0.0},
+        "single-semantic-l1": {"final_miou": 0.08,
+                               "miou_delta_last_quarter": 0.004},
+    }))
+    points = [{"run": "single-semantic-l0.1", "kind": "single-semantic",
+               "lmbda": 0.1, "steps": 12000, "actual_bpp": 3e-5,
+               "semantic/miou": 0.0599}]
+    r = build_report(points, str(tmp_path), trajectory_artifact=str(traj))
+    row = r["runs"]["single-semantic-l0.1"]
+    assert row["label_map_frozen"] is True
+    assert row["label_map_frozen_source"] == \
+        "semantic_trajectory.json (pre-reset)"
+    assert r["claim"]["starved_lambdas"] == [0.1]
